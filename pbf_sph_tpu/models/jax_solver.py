@@ -1,0 +1,448 @@
+"""JAX/XLA solver backend — the TPU-native engine.
+
+One frame (`advance`) is a single jitted XLA program with static shapes:
+fixed-capacity state pytree, on-device Morton sort + dense CSR cell table,
+statically unrolled 27-cell neighbour gathers, cumsum-compacted marching
+cubes.  This replaces the reference's host-orchestrated pipeline
+(`src/ocl/oclsph.cpp:315-494`) with zero per-phase host round-trips.
+
+Host-side adaptivity (capacity growth, neighbour-capacity overflow retry)
+mirrors the JAX ecosystem's neighbour-list idiom: the step reports
+`max_occupancy`/`tri_count`; if they exceed the compiled capacities the frame
+is re-run under a larger spec (recompile, rare).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbf_sph_tpu.core.types import (
+    FLUID,
+    OBSTACLE,
+    ColouredMesh,
+    FluidState,
+    ParticleSoA,
+    QueryResult,
+    Result,
+    Scene,
+    SphParams,
+)
+from pbf_sph_tpu.models.solver import Solver
+from pbf_sph_tpu.ops import mc as mc_ops
+from pbf_sph_tpu.ops import pbf
+from pbf_sph_tpu.ops.curves import morton_encode3
+from pbf_sph_tpu.ops.grid import (
+    GridSpec,
+    build_grid_table,
+    cell_codes,
+    cell_coords,
+    max_cell_occupancy,
+    stencil_ranges,
+)
+
+
+# ---------------------------------------------------------------------------
+# Static step specification
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SceneSpec:
+    """Static shape of the scene (counts / spawn grids)."""
+
+    n_wells: int = 0
+    spawn: Tuple[Tuple[int, int], ...] = ()  # per-source (width, depth)
+    n_drains: int = 0
+    n_queries: int = 0
+    query_capacity: int = 128
+
+    @property
+    def total_spawn(self) -> int:
+        return sum(w * d for w, d in self.spawn)
+
+
+@dataclass(frozen=True)
+class StepSpec:
+    capacity: int
+    cell_capacity: int
+    grid: GridSpec
+    h: float
+    scale: float
+    iteration: int
+    dtype: str
+    scene: SceneSpec
+    surface: Optional[mc_ops.McSpec] = None
+
+
+def scene_spec_of(scene: Scene, config: SphParams, query_capacity: int = 128) -> SceneSpec:
+    spawn = []
+    for s in scene.sources:
+        size = float(np.sqrt(np.float32(s.rate)))
+        spawn.append((int(np.floor(size)), int(np.ceil(size))))
+    return SceneSpec(
+        n_wells=len(scene.wells),
+        spawn=tuple(spawn),
+        n_drains=len(scene.drains),
+        n_queries=len(scene.queries),
+        query_capacity=query_capacity,
+    )
+
+
+def scene_arrays_of(scene: Scene, spec: SceneSpec, dtype) -> Dict[str, Any]:
+    f = dtype
+
+    def arr(vals, shape, dt=f):
+        if not vals:
+            return np.zeros(shape, dt)
+        return np.asarray(vals, dt).reshape(shape)
+
+    return dict(
+        wells_centre=arr([w.centre for w in scene.wells], (spec.n_wells, 3)),
+        wells_force=arr([w.force for w in scene.wells], (spec.n_wells,)),
+        src_centre=arr([s.centre for s in scene.sources], (len(spec.spawn), 3)),
+        src_velocity=arr([s.velocity for s in scene.sources], (len(spec.spawn), 3)),
+        src_colour=arr([s.colour for s in scene.sources], (len(spec.spawn), 4)),
+        src_tag=arr([s.tag for s in scene.sources], (len(spec.spawn),), np.int32),
+        drain_centre=arr([d.centre for d in scene.drains], (spec.n_drains, 3)),
+        drain_width=arr([d.width for d in scene.drains], (spec.n_drains,)),
+        q_point=arr([q.point for q in scene.queries], (spec.n_queries, 3)),
+        q_id=arr([q.id for q in scene.queries], (spec.n_queries,), np.int32),
+    )
+
+
+def dyn_params_of(config: SphParams, dtype) -> Dict[str, Any]:
+    f = dtype
+    surf = config.surface
+    return dict(
+        dt=np.asarray(config.dt, f),
+        min_bound=np.asarray(config.min_bound, f),
+        max_bound=np.asarray(config.max_bound, f),
+        constant_force=np.asarray(config.constant_force, f),
+        mc_isolevel=np.asarray(surf.isolevel if surf else 0.0, f),
+        mc_particle_size=np.asarray(surf.particle_size if surf else 0.0, f),
+        mc_particle_influence=np.asarray(surf.particle_influence if surf else 0.0, f),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------------
+
+
+def _apply_sources(state: FluidState, scn, spec: StepSpec, dtype):
+    """Spawn particles into dead slots (reference `src/omp/ompsph.hpp:93-105`);
+    the reference's emplace_back becomes mask-set on a fixed-capacity array."""
+    sc = spec.scene
+    total = sc.total_spawn
+    if total == 0:
+        return state, jnp.asarray(0, jnp.int32)
+    h = jnp.asarray(spec.h, dtype)
+    scale = jnp.asarray(spec.scale, dtype)
+    spacing = h * scale / 2
+
+    pos_parts, vel_parts, col_parts, tag_parts = [], [], [], []
+    for i, (w, d) in enumerate(sc.spawn):
+        if w * d == 0:
+            continue
+        centre = scn["src_centre"][i]
+        offset = centre - jnp.asarray([w, 0, d], dtype) * 0.5 * spacing
+        gx = jnp.arange(w, dtype=dtype)[:, None]
+        gz = jnp.arange(d, dtype=dtype)[None, :]
+        px = (offset[0] + gx * spacing) * jnp.ones((1, d), dtype)
+        py = offset[1] * jnp.ones((w, d), dtype)
+        pz = (offset[2] + gz * spacing) * jnp.ones((w, 1), dtype)
+        pos_parts.append(jnp.stack([px, py, pz], -1).reshape(w * d, 3))
+        vel_parts.append(jnp.broadcast_to(scn["src_velocity"][i], (w * d, 3)))
+        col_parts.append(jnp.broadcast_to(scn["src_colour"][i], (w * d, 4)))
+        tag_parts.append(jnp.broadcast_to(scn["src_tag"][i], (w * d,)))
+    spawn_pos = jnp.concatenate(pos_parts)
+    spawn_vel = jnp.concatenate(vel_parts)
+    spawn_col = jnp.concatenate(col_parts)
+    spawn_tag = jnp.concatenate(tag_parts)
+
+    # dead slots first (stable sort of the alive mask)
+    slots = jnp.argsort(state.alive.astype(jnp.int32), stable=True)[:total]
+    can = ~state.alive[slots]
+    dropped = total - jnp.sum(can)
+
+    def put(arr, new):
+        old = arr[slots]
+        mask = can.reshape((-1,) + (1,) * (new.ndim - 1))
+        return arr.at[slots].set(jnp.where(mask, new.astype(arr.dtype), old))
+
+    state = FluidState(
+        pid=put(state.pid, spawn_tag),
+        ptype=put(state.ptype, jnp.zeros_like(spawn_tag)),
+        mass=put(state.mass, jnp.ones((total,), dtype)),
+        position=put(state.position, spawn_pos),
+        velocity=put(state.velocity, spawn_vel),
+        colour=put(state.colour, spawn_col),
+        alive=state.alive.at[slots].set(state.alive[slots] | can),
+    )
+    return state, dropped.astype(jnp.int32)
+
+
+def _apply_drains(state: FluidState, scn, spec: StepSpec):
+    """Clear alive bits within drain radius (reference `src/omp/ompsph.hpp:107-118`)."""
+    alive = state.alive
+    for i in range(spec.scene.n_drains):
+        diff = state.position - scn["drain_centre"][i][None, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        hit = (state.ptype == FLUID) & (dist < scn["drain_width"][i])
+        alive = alive & ~hit
+    return dataclasses.replace(state, alive=alive)
+
+
+def _queries(scn, spec: StepSpec, pid, ptype, alive, grid_table, min_extent, dtype):
+    sc = spec.scene
+    qcap = sc.query_capacity
+    maxz = spec.grid.maxz
+    out_ids = []
+    out_counts = []
+    for qi in range(sc.n_queries):
+        scaled = scn["q_point"][qi] / jnp.asarray(spec.scale, dtype) - min_extent
+        qcell = jnp.trunc(scaled / jnp.asarray(spec.h, dtype)).astype(jnp.int32)
+        in_range = ((qcell >= 0) & (qcell <= 1023)).all()
+        safe = jnp.where(in_range, qcell, 0)
+        zq = morton_encode3(safe[0], safe[1], safe[2])
+        ok = in_range & (zq < maxz) & (zq + 1 < maxz)
+        zq_s = jnp.where(ok, zq, 0)
+        start = jnp.where(ok, grid_table[zq_s], 0)
+        end = jnp.where(ok, grid_table[jnp.minimum(zq_s + 1, maxz)], 0)
+        idx = start + jnp.arange(qcap, dtype=jnp.int32)
+        m = idx < end
+        idxc = jnp.where(m, idx, 0)
+        keep = m & (ptype[idxc] == FLUID) & alive[idxc]
+        out_ids.append(jnp.where(keep, pid[idxc], -1))
+        out_counts.append(jnp.sum(keep).astype(jnp.int32))
+    if not out_ids:
+        return jnp.zeros((0, qcap), jnp.int32), jnp.zeros((0,), jnp.int32)
+    return jnp.stack(out_ids), jnp.stack(out_counts)
+
+
+def build_step(spec: StepSpec):
+    """Build the jittable full-frame step for a static spec.
+
+    step(state, dyn, scn) -> (new_state, outputs)
+    """
+    dtype = jnp.dtype(spec.dtype)
+    maxz = spec.grid.maxz
+    K = spec.cell_capacity
+
+    def step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
+        h = spec.h
+        scale = jnp.asarray(spec.scale, dtype)
+        dt = dyn["dt"].astype(dtype)
+        min_bound = dyn["min_bound"].astype(dtype)
+        max_bound = dyn["max_bound"].astype(dtype)
+
+        # 1-2. sources / drains
+        state, spawn_dropped = _apply_sources(state, scn, spec, dtype)
+        state = _apply_drains(state, scn, spec)
+
+        padding = jnp.asarray(h, dtype) * 2
+        min_extent = min_bound / scale - padding
+
+        # 3. advect
+        vel, pstar = pbf.advect(
+            state.position, state.velocity, state.mass, state.ptype, state.alive,
+            scn["wells_centre"], scn["wells_force"], dyn["constant_force"].astype(dtype),
+            dt, scale,
+        )
+
+        # 4-5. cells + sort
+        cells = cell_coords(pstar, min_extent, h)
+        codes, key = cell_codes(cells, state.alive, maxz)
+        order = jnp.argsort(key, stable=True)
+        key = key[order]
+        cells = cells[order]
+        codes = codes[order]
+        pstar = pstar[order]
+        vel = vel[order]
+        state = jax.tree.map(lambda a: a[order], state)
+
+        # 6. dense grid table
+        grid_table = build_grid_table(key, maxz)
+        occupancy = max_cell_occupancy(grid_table)
+
+        # 7. queries (before diffusion, reference order `src/omp/ompsph.hpp:167`)
+        q_ids, q_counts = _queries(
+            scn, spec, state.pid, state.ptype, state.alive, grid_table, min_extent, dtype
+        )
+
+        ranges = stencil_ranges(cells, codes, grid_table, maxz)
+
+        # 8. colour diffusion
+        colour = pbf.diffuse(state.colour, state.ptype, state.alive, ranges, K, dt)
+
+        # 9. constraint solve
+        for _ in range(spec.iteration):
+            lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
+            pstar = pbf.delta_phase(
+                pstar, lam, state.ptype, state.alive, ranges, K, h, scale, min_bound, max_bound
+            )
+
+        # 10. finalise
+        position, velocity = pbf.finalise(
+            state.position, vel, pstar, state.ptype, state.alive, dt, scale, dtype
+        )
+
+        outputs: Dict[str, Any] = dict(
+            max_occupancy=occupancy,
+            alive_count=jnp.sum(state.alive).astype(jnp.int32),
+            spawn_dropped=spawn_dropped,
+            query_ids=q_ids,
+            query_counts=q_counts,
+        )
+
+        # 11. marching cubes
+        if spec.surface is not None:
+            lat_v, lat_n, lat_c = mc_ops.mc_field(
+                position, colour, state.ptype, state.alive, grid_table, maxz,
+                min_extent, spec.grid.extent, spec.surface, K, h, scale,
+                dyn["mc_particle_size"].astype(dtype),
+                dyn["mc_particle_influence"].astype(dtype),
+            )
+            vs, ns, cs, total = mc_ops.mc_extract(
+                lat_v, lat_n, lat_c, min_extent, spec.grid.extent, spec.surface,
+                h, scale, dyn["mc_isolevel"].astype(dtype),
+            )
+            outputs.update(mesh_vs=vs, mesh_ns=ns, mesh_cs=cs, tri_count=total)
+
+        new_state = FluidState(
+            pid=state.pid, ptype=state.ptype, mass=state.mass,
+            position=position, velocity=velocity, colour=colour, alive=state.alive,
+        )
+        return new_state, outputs
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Solver frontend
+# ---------------------------------------------------------------------------
+
+
+class JaxSolver(Solver):
+    def __init__(
+        self,
+        h: float = 0.1,
+        dtype: str = "float32",
+        cell_capacity: int = 48,
+        query_capacity: int = 128,
+        tri_capacity: int = 0,
+        use_pallas: bool = False,
+    ):
+        super().__init__(h)
+        self.dtype = np.dtype(dtype)
+        self.cell_capacity = int(cell_capacity)
+        self.query_capacity = int(query_capacity)
+        self.tri_capacity = int(tri_capacity)
+        self.use_pallas = bool(use_pallas)
+        self._steps: Dict[StepSpec, Any] = {}
+
+    # -- spec / step management ---------------------------------------------
+
+    def get_step(self, spec: StepSpec):
+        fn = self._steps.get(spec)
+        if fn is None:
+            if self.use_pallas:
+                from pbf_sph_tpu.ops.pallas_pbf import build_step_pallas
+
+                fn = jax.jit(build_step_pallas(spec))
+            else:
+                fn = jax.jit(build_step(spec))
+            self._steps[spec] = fn
+        return fn
+
+    def make_spec(
+        self,
+        config: SphParams,
+        scene: Scene,
+        capacity: int,
+        cell_capacity: Optional[int] = None,
+        tri_capacity: Optional[int] = None,
+    ) -> StepSpec:
+        grid = GridSpec.from_bounds(config.min_bound, config.max_bound, config.scale, self.h)
+        surface = None
+        if config.surface is not None:
+            surface = mc_ops.McSpec.from_extent(
+                grid.extent,
+                config.surface.resolution,
+                tri_capacity if tri_capacity else self.tri_capacity,
+            )
+        return StepSpec(
+            capacity=int(capacity),
+            cell_capacity=int(cell_capacity or self.cell_capacity),
+            grid=grid,
+            h=self.h,
+            scale=float(config.scale),
+            iteration=int(config.iteration),
+            dtype=str(np.dtype(self.dtype)),
+            scene=scene_spec_of(scene, config, self.query_capacity),
+            surface=surface,
+        )
+
+    # -- host-level API (reference `Solver::advance` parity) ------------------
+
+    def advance(self, config: SphParams, scene: Scene, xs: ParticleSoA):
+        sspec = scene_spec_of(scene, config, self.query_capacity)
+        n = len(xs) + sspec.total_spawn
+        capacity = max(128, -(-n // 128) * 128)
+        spec = self.make_spec(config, scene, capacity)
+
+        scn = scene_arrays_of(scene, sspec, self.dtype)
+        dyn = dyn_params_of(config, self.dtype)
+
+        for _attempt in range(4):
+            state = FluidState.from_soa(xs, spec.capacity, self.dtype)
+            new_state, out = self.get_step(spec)(state, dyn, scn)
+            occ = int(out["max_occupancy"])
+            tri_count = int(out["tri_count"]) if spec.surface is not None else 0
+            need_k = occ > spec.cell_capacity
+            need_t = spec.surface is not None and tri_count > spec.surface.tri_capacity
+            if not (need_k or need_t):
+                break
+            # grow and re-run the frame under a larger spec (rare recompile)
+            new_k = spec.cell_capacity
+            if need_k:
+                new_k = -(-occ // 16) * 16
+            surface = spec.surface
+            if need_t:
+                surface = dataclasses.replace(surface, tri_capacity=-(-tri_count // 1024) * 1024)
+            spec = dataclasses.replace(spec, cell_capacity=new_k, surface=surface)
+        else:
+            raise RuntimeError("capacity growth did not converge")
+
+        result = self._extract_result(out, scn, spec)
+        if int(out["alive_count"]) == 0:
+            return Result(), ParticleSoA.empty(self.dtype)
+        return result, new_state.to_soa()
+
+    def _extract_result(self, out, scn, spec: StepSpec) -> Result:
+        mesh = ColouredMesh.empty(self.dtype)
+        if spec.surface is not None:
+            t = int(out["tri_count"])
+            mesh = ColouredMesh(
+                vs=np.asarray(out["mesh_vs"])[: t * 3],
+                ns=np.asarray(out["mesh_ns"])[: t * 3],
+                cs=np.asarray(out["mesh_cs"])[: t * 3],
+            )
+        queries = []
+        for qi in range(spec.scene.n_queries):
+            ids = np.asarray(out["query_ids"][qi])
+            queries.append(
+                QueryResult(
+                    id=int(scn["q_id"][qi]),
+                    point=np.asarray(scn["q_point"][qi]),
+                    neighbours=ids[ids >= 0].astype(np.int32),
+                )
+            )
+        return Result(mesh=mesh, queries=queries)
