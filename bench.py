@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Metric (from BASELINE.json): particle-steps/sec on the 1M-particle dam-break,
+6 constraint iterations, solver-only, single chip.  vs_baseline is the ratio
+to the north-star target of 60 steps/s at 1M particles (= 6.0e7
+particle-steps/s); >= 1.0 means the target is met.
+
+Env overrides: PBF_BENCH_COUNT, PBF_BENCH_FRAMES, PBF_BENCH_WARMUP,
+PBF_BENCH_IMPL (jax|pallas), PBF_BENCH_ITERS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    count = int(os.environ.get("PBF_BENCH_COUNT", 1_000_000))
+    frames = int(os.environ.get("PBF_BENCH_FRAMES", 30))
+    warmup = int(os.environ.get("PBF_BENCH_WARMUP", 10))
+    impl = os.environ.get("PBF_BENCH_IMPL", "jax")
+    iters = int(os.environ.get("PBF_BENCH_ITERS", 6))
+
+    import jax
+
+    from pbf_sph_tpu.core.configs import dam_break
+    from pbf_sph_tpu.core.types import Scene
+    from pbf_sph_tpu.models import make_solver
+    from pbf_sph_tpu.models.jax_solver import dyn_params_of
+
+    mc, cfg, xs = dam_break(count, solver_iter=iters)
+    solver = make_solver(impl, h=cfg.h)
+
+    spec, state, scn = solver.prepare(cfg, Scene(), xs, cell_capacity=32)
+    dyn = dyn_params_of(cfg, solver.dtype)
+
+    # compile + settle; track occupancy so the capacity is honest
+    occs = []
+    for _ in range(warmup):
+        state, out = solver.step_device(spec, state, dyn, scn)
+        occs.append(out["max_occupancy"])
+    jax.block_until_ready(state)
+    occ = int(max(int(o) for o in occs))
+    if occ > spec.cell_capacity:
+        # recompile with sufficient neighbour capacity and re-settle briefly
+        import dataclasses
+
+        spec = dataclasses.replace(spec, cell_capacity=-(-occ // 16) * 16 + 16)
+        for _ in range(3):
+            state, out = solver.step_device(spec, state, dyn, scn)
+        jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(frames):
+        state, out = solver.step_device(spec, state, dyn, scn)
+        outs.append(out["max_occupancy"])
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    n = len(xs)
+    steps_per_sec = frames / elapsed
+    pps = n * steps_per_sec
+    target = 60.0 * 1_000_000  # north-star particle-steps/s
+    print(
+        json.dumps(
+            {
+                "metric": f"particle-steps/sec (dam-break {n} particles, {iters} iters, {impl})",
+                "value": round(pps, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(pps / target, 4),
+            }
+        )
+    )
+    print(
+        f"# {steps_per_sec:.2f} steps/s, {1000 * elapsed / frames:.2f} ms/step, "
+        f"max occupancy {int(max(int(o) for o in outs))}, capacity K={spec.cell_capacity}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

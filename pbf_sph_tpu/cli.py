@@ -1,0 +1,165 @@
+"""Benchmark CLI — the headless entry point.
+
+Mirrors the reference driver's flags and output (reference `src/args.hpp:38-56`,
+`src/args.cpp:7-75`, `src/benchmark.cpp:77-175`):
+  --impl {jax,pallas,cpp,numpy}   (reference: {omp,ocl,sycl,sycl2020})
+  --list --verbose --devices --iter --warmup --fp64 --output
+plus new workload/scale selection (--workload) and working --output export
+(PLY cloud + OBJ mesh — the reference documented but never implemented this,
+`src/sph.hpp:188-196`).
+
+Default workload is the reference benchmark: 20k particles (two cubes),
+6 constraint iterations, scale 500, surface on, oscillating bounds, 200 warmup
++ 200 timed frames (reference `src/benchmark.cpp:23-29,78`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+from pbf_sph_tpu.core.configs import WORKLOADS
+from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+from pbf_sph_tpu.core.types import Scene
+from pbf_sph_tpu.models import BACKENDS, make_solver
+from pbf_sph_tpu.utils.stopwatch import Stopwatch
+
+DEFAULT_ITER = 200
+DEFAULT_WARMUP = 200
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pbf-sph-tpu",
+        description="TPU-native PBF-SPH benchmark (same workload as the reference mini-app)",
+    )
+    p.add_argument("--impl", choices=BACKENDS, default="jax",
+                   help="solver backend (default jax)")
+    p.add_argument("--list", action="store_true", help="list available devices and exit")
+    p.add_argument("--verbose", action="store_true", help="enable verbose device output")
+    p.add_argument("--devices", action="append", default=[],
+                   help="device index or name substring (repeatable)")
+    p.add_argument("--iter", type=int, default=DEFAULT_ITER, dest="iterations",
+                   help="timed frames (default 200)")
+    p.add_argument("--warmup", type=int, default=DEFAULT_WARMUP,
+                   help="warmup frames (default 200)")
+    p.add_argument("--fp64", action="store_true", help="use fp64 (jax/numpy backends)")
+    p.add_argument("--output", default="",
+                   help="output dir template, expands {impl} {type} {iter}")
+    p.add_argument("--workload", default="bench20k", choices=sorted(WORKLOADS),
+                   help="workload preset (default: the reference benchmark)")
+    p.add_argument("--no-surface", action="store_true", help="disable marching cubes")
+    p.add_argument("--phase-timings", action="store_true",
+                   help="print the per-frame Stopwatch phase table")
+    return p
+
+
+def list_devices(verbose: bool) -> None:
+    try:
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            print(f"[{i}] {d.platform}:{d.device_kind}")
+            if verbose:
+                print(f"    {d}")
+    except Exception as e:  # pragma: no cover
+        print(f"[0] cpu (jax unavailable: {e})")
+
+
+def rendered_output_name(template: str, impl: str, fp64: bool, iterations: int) -> str:
+    """Output-name templating (reference `src/args.cpp:69-75`)."""
+    t = "double" if fp64 else "float"
+    return (
+        template.replace("{impl}", impl)
+        .replace("{type}", t)
+        .replace("{iter}", str(iterations))
+    )
+
+
+def summary_stats(xs: List[float]):
+    a = np.asarray(xs, np.float64)
+    mean = a.mean()
+    var = ((a - mean) ** 2).mean()  # population variance (reference benchmark.cpp:68-70)
+    return a.min(), a.max(), mean, var, math.sqrt(var)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.list:
+        list_devices(args.verbose)
+        return 0
+
+    dtype = "float64" if args.fp64 else "float32"
+    if args.impl == "cpp" and args.fp64:
+        print("FP64 is not supported for the cpp backend!", file=sys.stderr)
+        return 1
+
+    kwargs = {}
+    if args.impl in ("jax", "pallas", "numpy"):
+        kwargs["dtype"] = dtype
+    if args.fp64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    mc, config, particles = WORKLOADS[args.workload]()
+    if config.surface is None and not args.no_surface and args.workload.startswith("bench"):
+        config = config.replace(surface=mc)
+    if args.no_surface:
+        config = config.replace(surface=None)
+
+    solver = make_solver(args.impl, h=config.h, **kwargs)
+    output = rendered_output_name(args.output or "./out_{impl}_{type}_{iter}",
+                                  args.impl, args.fp64, args.iterations)
+    print(f"Using {output} for output")
+    print(f"Workload {args.workload}: {len(particles)} particles, "
+          f"{config.iteration} iterations, surface={'on' if config.surface else 'off'}")
+
+    xs = particles
+    result = None
+    for frame in range(args.warmup):
+        result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+
+    frame_times = []
+    start = time.perf_counter()
+    # the reference restarts the bound-motion phase for the timed loop
+    # (frame index resets to 0, `src/benchmark.cpp:43-47`)
+    for frame in range(args.iterations):
+        watch = Stopwatch("advance")
+        f_start = time.perf_counter()
+        stop = watch.start("advance")
+        result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+        stop()
+        frame_times.append((time.perf_counter() - f_start) * 1000.0)
+        if args.phase_timings:
+            print(watch)
+    elapsed = time.perf_counter() - start
+
+    lo, hi, mean, _, std = summary_stats(frame_times)
+    fps = args.iterations / elapsed
+    print(
+        f"Benchmark completed after {args.iterations} frames:\n"
+        f"Runtime              : {elapsed:.4g} s\n"
+        f"Framerate            : {fps:.4g} fps\n"
+        f"Frame-time min       : {lo:.4g} ms\n"
+        f"Frame-time max       : {hi:.4g} ms\n"
+        f"Frame-time mean       : {mean:.4g} ms\n"
+        f"Frame-time stdDev     : {std:.4g} ms\n"
+        f"Final Vertex count   : {len(result.mesh.vs)}\n"
+        f"Final Particle count : {len(xs)} \n"
+    )
+    if args.output:
+        from pbf_sph_tpu.utils.export import save
+
+        save(result, xs, output)
+        print("Results flushed.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

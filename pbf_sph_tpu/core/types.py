@@ -184,17 +184,21 @@ class ParticleSoA:
 class FluidState:
     """Device-side fixed-capacity particle state pytree.
 
+    TPU layout note: vector quantities are **component-major** — position and
+    velocity are (3, C), colour is (4, C) — so the long particle axis maps to
+    TPU lanes.  A (C, 3) layout would be padded 3→128 on the lane axis by the
+    TPU tiler (a 42x memory blowup measured on real hardware).
+
     Dead slots have ``alive == False`` and are parked at the end of the
-    Morton sort order.  Registered as a JAX pytree (see bottom of module);
-    under a non-JAX NumPy context it works identically with np arrays.
+    Morton sort order.
     """
 
     pid: Any  # (C,) int32
     ptype: Any  # (C,) int32
     mass: Any  # (C,) f
-    position: Any  # (C,3) f
-    velocity: Any  # (C,3) f
-    colour: Any  # (C,4) f
+    position: Any  # (3,C) f
+    velocity: Any  # (3,C) f
+    colour: Any  # (4,C) f
     alive: Any  # (C,) bool
 
     @property
@@ -209,15 +213,17 @@ class FluidState:
         pad = capacity - n
 
         def pad1(a, fill=0):
-            return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+            return np.concatenate(
+                [a, np.full(a.shape[:-1] + (pad,), fill, a.dtype)], axis=-1
+            )
 
         return FluidState(
             pid=pad1(soa.pid.astype(np.int32)),
             ptype=pad1(soa.ptype.astype(np.int32)),
             mass=pad1(soa.mass.astype(dtype)),
-            position=pad1(soa.position.astype(dtype)),
-            velocity=pad1(soa.velocity.astype(dtype)),
-            colour=pad1(soa.colour.astype(dtype)),
+            position=pad1(np.ascontiguousarray(soa.position.astype(dtype).T)),
+            velocity=pad1(np.ascontiguousarray(soa.velocity.astype(dtype).T)),
+            colour=pad1(np.ascontiguousarray(soa.colour.astype(dtype).T)),
             alive=np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]),
         )
 
@@ -230,9 +236,9 @@ class FluidState:
             pid=np.asarray(self.pid)[idx],
             ptype=np.asarray(self.ptype)[idx],
             mass=np.asarray(self.mass)[idx],
-            position=np.asarray(self.position)[idx],
-            velocity=np.asarray(self.velocity)[idx],
-            colour=np.asarray(self.colour)[idx],
+            position=np.asarray(self.position).T[idx],
+            velocity=np.asarray(self.velocity).T[idx],
+            colour=np.asarray(self.colour).T[idx],
         )
 
 

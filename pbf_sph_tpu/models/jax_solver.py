@@ -40,10 +40,11 @@ from pbf_sph_tpu.ops import pbf
 from pbf_sph_tpu.ops.curves import morton_encode3
 from pbf_sph_tpu.ops.grid import (
     GridSpec,
-    build_grid_table,
-    cell_codes,
+    build_cell_table,
     cell_coords,
+    decode_key,
     max_cell_occupancy,
+    sort_key,
     stencil_ranges,
 )
 
@@ -158,13 +159,13 @@ def _apply_sources(state: FluidState, scn, spec: StepSpec, dtype):
         px = (offset[0] + gx * spacing) * jnp.ones((1, d), dtype)
         py = offset[1] * jnp.ones((w, d), dtype)
         pz = (offset[2] + gz * spacing) * jnp.ones((w, 1), dtype)
-        pos_parts.append(jnp.stack([px, py, pz], -1).reshape(w * d, 3))
-        vel_parts.append(jnp.broadcast_to(scn["src_velocity"][i], (w * d, 3)))
-        col_parts.append(jnp.broadcast_to(scn["src_colour"][i], (w * d, 4)))
+        pos_parts.append(jnp.stack([px.ravel(), py.ravel(), pz.ravel()]))  # (3, w*d)
+        vel_parts.append(jnp.broadcast_to(scn["src_velocity"][i][:, None], (3, w * d)))
+        col_parts.append(jnp.broadcast_to(scn["src_colour"][i][:, None], (4, w * d)))
         tag_parts.append(jnp.broadcast_to(scn["src_tag"][i], (w * d,)))
-    spawn_pos = jnp.concatenate(pos_parts)
-    spawn_vel = jnp.concatenate(vel_parts)
-    spawn_col = jnp.concatenate(col_parts)
+    spawn_pos = jnp.concatenate(pos_parts, axis=1)
+    spawn_vel = jnp.concatenate(vel_parts, axis=1)
+    spawn_col = jnp.concatenate(col_parts, axis=1)
     spawn_tag = jnp.concatenate(tag_parts)
 
     # dead slots first (stable sort of the alive mask)
@@ -173,9 +174,8 @@ def _apply_sources(state: FluidState, scn, spec: StepSpec, dtype):
     dropped = total - jnp.sum(can)
 
     def put(arr, new):
-        old = arr[slots]
-        mask = can.reshape((-1,) + (1,) * (new.ndim - 1))
-        return arr.at[slots].set(jnp.where(mask, new.astype(arr.dtype), old))
+        old = arr[..., slots]
+        return arr.at[..., slots].set(jnp.where(can, new.astype(arr.dtype), old))
 
     state = FluidState(
         pid=put(state.pid, spawn_tag),
@@ -193,29 +193,35 @@ def _apply_drains(state: FluidState, scn, spec: StepSpec):
     """Clear alive bits within drain radius (reference `src/omp/ompsph.hpp:107-118`)."""
     alive = state.alive
     for i in range(spec.scene.n_drains):
-        diff = state.position - scn["drain_centre"][i][None, :]
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-        hit = (state.ptype == FLUID) & (dist < scn["drain_width"][i])
+        d2 = jnp.zeros_like(state.mass)
+        for a in range(3):
+            diff = state.position[a] - scn["drain_centre"][i, a]
+            d2 = d2 + diff * diff
+        hit = (state.ptype == FLUID) & (jnp.sqrt(d2) < scn["drain_width"][i])
         alive = alive & ~hit
     return dataclasses.replace(state, alive=alive)
 
 
-def _queries(scn, spec: StepSpec, pid, ptype, alive, grid_table, min_extent, dtype):
+def _queries(scn, spec: StepSpec, pid, ptype, alive, cell_table, min_extent, dtype):
+    """Point queries over the centre cell only (reference
+    `src/omp/ompsph.hpp:167-186`, incl. its `zIdx+1 < gridTableN` guard)."""
     sc = spec.scene
     qcap = sc.query_capacity
     maxz = spec.grid.maxz
+    nx, ny, nz = spec.grid.dims
     out_ids = []
     out_counts = []
     for qi in range(sc.n_queries):
         scaled = scn["q_point"][qi] / jnp.asarray(spec.scale, dtype) - min_extent
         qcell = jnp.trunc(scaled / jnp.asarray(spec.h, dtype)).astype(jnp.int32)
-        in_range = ((qcell >= 0) & (qcell <= 1023)).all()
+        dims = jnp.asarray([nx, ny, nz], jnp.int32)
+        in_range = ((qcell >= 0) & (qcell < dims)).all()
         safe = jnp.where(in_range, qcell, 0)
         zq = morton_encode3(safe[0], safe[1], safe[2])
         ok = in_range & (zq < maxz) & (zq + 1 < maxz)
-        zq_s = jnp.where(ok, zq, 0)
-        start = jnp.where(ok, grid_table[zq_s], 0)
-        end = jnp.where(ok, grid_table[jnp.minimum(zq_s + 1, maxz)], 0)
+        lin = jnp.where(ok, (safe[0] * ny + safe[1]) * nz + safe[2], 0)
+        start = jnp.where(ok, cell_table[lin], 0)
+        end = jnp.where(ok, cell_table[lin + 1], 0)
         idx = start + jnp.arange(qcap, dtype=jnp.int32)
         m = idx < end
         idxc = jnp.where(m, idx, 0)
@@ -227,14 +233,34 @@ def _queries(scn, spec: StepSpec, pid, ptype, alive, grid_table, min_extent, dty
     return jnp.stack(out_ids), jnp.stack(out_counts)
 
 
-def build_step(spec: StepSpec):
+def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0):
     """Build the jittable full-frame step for a static spec.
 
     step(state, dyn, scn) -> (new_state, outputs)
+
+    With use_pallas=True the three hot neighbour phases (diffuse, lambda,
+    delta) run as Pallas TPU kernels over contiguous cell strips (see
+    `ops/pallas_pbf.py`); everything else is identical.
     """
     dtype = jnp.dtype(spec.dtype)
     maxz = spec.grid.maxz
     K = spec.cell_capacity
+
+    phases = None
+    if use_pallas:
+        from pbf_sph_tpu.ops import pallas_pbf
+
+        if spec.capacity % pallas_pbf.BLK != 0:
+            raise ValueError(f"capacity must be a multiple of {pallas_pbf.BLK}")
+        nz = spec.grid.dims[2]
+        smax = strip_capacity or min(
+            spec.capacity, 1 << max(11, int(np.ceil(np.log2(max(1, nz * 24 * 2)))))
+        )
+        smax = min(smax, spec.capacity)
+        phases = pallas_pbf.PallasPhases(
+            spec.capacity, spec.grid, spec.h, smax,
+            interpret=jax.default_backend() == "cpu",
+        )
 
     def step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
         h = spec.h
@@ -257,37 +283,75 @@ def build_step(spec: StepSpec):
             dt, scale,
         )
 
-        # 4-5. cells + sort
+        # 4-5. cells + sort (multi-operand lax.sort: values ride the sort
+        # network — arbitrary-index gathers are ~7ns/element on TPU)
         cells = cell_coords(pstar, min_extent, h)
-        codes, key = cell_codes(cells, state.alive, maxz)
-        order = jnp.argsort(key, stable=True)
-        key = key[order]
-        cells = cells[order]
-        codes = codes[order]
-        pstar = pstar[order]
-        vel = vel[order]
-        state = jax.tree.map(lambda a: a[order], state)
+        key = sort_key(cells, state.alive, spec.grid)
+        sorted_ops = jax.lax.sort(
+            (
+                key,
+                state.pid, state.ptype, state.mass,
+                state.position[0], state.position[1], state.position[2],
+                vel[0], vel[1], vel[2],
+                state.colour[0], state.colour[1], state.colour[2], state.colour[3],
+                state.alive,
+                pstar[0], pstar[1], pstar[2],
+            ),
+            num_keys=1,
+            is_stable=True,
+        )
+        key = sorted_ops[0]
+        state = FluidState(
+            pid=sorted_ops[1], ptype=sorted_ops[2], mass=sorted_ops[3],
+            position=jnp.stack(sorted_ops[4:7]),
+            velocity=state.velocity,  # replaced below; placeholder
+            colour=jnp.stack(sorted_ops[10:14]),
+            alive=sorted_ops[14],
+        )
+        vel = jnp.stack(sorted_ops[7:10])
+        pstar = jnp.stack(sorted_ops[15:18])
+        state = dataclasses.replace(state, velocity=vel)
+        cells, member = decode_key(key, spec.grid)
 
-        # 6. dense grid table
-        grid_table = build_grid_table(key, maxz)
-        occupancy = max_cell_occupancy(grid_table)
+        # 6. dense cell table (scatter + cumsum; O(n + ncells) dense ops)
+        cell_table = build_cell_table(key, spec.grid)
+        occupancy = max_cell_occupancy(cell_table[: spec.grid.ncells + 1])
 
         # 7. queries (before diffusion, reference order `src/omp/ompsph.hpp:167`)
         q_ids, q_counts = _queries(
-            scn, spec, state.pid, state.ptype, state.alive, grid_table, min_extent, dtype
+            scn, spec, state.pid, state.ptype, state.alive, cell_table, min_extent, dtype
         )
 
-        ranges = stencil_ranges(cells, codes, grid_table, maxz)
+        strip_overflow = jnp.asarray(0, jnp.int32)
+        if phases is None:
+            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
 
-        # 8. colour diffusion
-        colour = pbf.diffuse(state.colour, state.ptype, state.alive, ranges, K, dt)
+            # 8. colour diffusion
+            colour = pbf.diffuse(state.colour, state.ptype, state.alive, ranges, K, dt)
 
-        # 9. constraint solve
-        for _ in range(spec.iteration):
-            lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
-            pstar = pbf.delta_phase(
-                pstar, lam, state.ptype, state.alive, ranges, K, h, scale, min_bound, max_bound
+            # 9. constraint solve
+            for _ in range(spec.iteration):
+                lam = pbf.lambda_phase(
+                    pstar, state.mass, state.ptype, state.alive, ranges, K, h
+                )
+                pstar = pbf.delta_phase(
+                    pstar, lam, state.ptype, state.alive, ranges, K, h,
+                    scale, min_bound, max_bound,
+                )
+        else:
+            sstart4, wins, strip_overflow = phases.plan_frame(key, cell_table)
+            memberf = member.astype(dtype)
+            colour = phases.diffuse(
+                sstart4, wins, state.colour, cells, memberf, state.ptype, state.alive, dt
             )
+            for _ in range(spec.iteration):
+                lam = phases.lambda_phase(
+                    sstart4, wins, pstar, state.mass, memberf, state.ptype, state.alive
+                )
+                pstar = phases.delta_phase(
+                    sstart4, wins, pstar, lam, memberf, state.ptype, state.alive,
+                    scale, min_bound, max_bound,
+                )
 
         # 10. finalise
         position, velocity = pbf.finalise(
@@ -298,6 +362,7 @@ def build_step(spec: StepSpec):
             max_occupancy=occupancy,
             alive_count=jnp.sum(state.alive).astype(jnp.int32),
             spawn_dropped=spawn_dropped,
+            strip_overflow=strip_overflow,
             query_ids=q_ids,
             query_counts=q_counts,
         )
@@ -305,7 +370,7 @@ def build_step(spec: StepSpec):
         # 11. marching cubes
         if spec.surface is not None:
             lat_v, lat_n, lat_c = mc_ops.mc_field(
-                position, colour, state.ptype, state.alive, grid_table, maxz,
+                position, colour, state.ptype, state.alive, cell_table, spec.grid,
                 min_extent, spec.grid.extent, spec.surface, K, h, scale,
                 dyn["mc_particle_size"].astype(dtype),
                 dyn["mc_particle_influence"].astype(dtype),
@@ -353,14 +418,46 @@ class JaxSolver(Solver):
     def get_step(self, spec: StepSpec):
         fn = self._steps.get(spec)
         if fn is None:
-            if self.use_pallas:
-                from pbf_sph_tpu.ops.pallas_pbf import build_step_pallas
-
-                fn = jax.jit(build_step_pallas(spec))
-            else:
-                fn = jax.jit(build_step(spec))
+            raw = build_step(spec, use_pallas=self.use_pallas)
+            # donate the state buffers (in-place frame update) on accelerators
+            donate = (0,) if jax.default_backend() != "cpu" else ()
+            fn = jax.jit(raw, donate_argnums=donate)
             self._steps[spec] = fn
         return fn
+
+    @property
+    def _cap_align(self) -> int:
+        if self.use_pallas:
+            from pbf_sph_tpu.ops.pallas_pbf import BLK
+
+            return BLK
+        return 128
+
+    # -- device-resident fast path (benchmark loop) ---------------------------
+
+    def prepare(
+        self,
+        config: SphParams,
+        scene: Scene,
+        xs: ParticleSoA,
+        capacity: Optional[int] = None,
+        cell_capacity: Optional[int] = None,
+        tri_capacity: Optional[int] = None,
+    ):
+        """Build (spec, device state, scene arrays) for a run of `step` calls
+        that keep all state on device (no per-frame host round-trips)."""
+        sspec = scene_spec_of(scene, config, self.query_capacity)
+        n = len(xs) + sspec.total_spawn
+        al = self._cap_align
+        cap = capacity or max(al, -(-n // al) * al)
+        spec = self.make_spec(config, scene, cap, cell_capacity, tri_capacity)
+        state = jax.device_put(FluidState.from_soa(xs, spec.capacity, self.dtype))
+        scn = jax.device_put(scene_arrays_of(scene, sspec, self.dtype))
+        return spec, state, scn
+
+    def step_device(self, spec: StepSpec, state: FluidState, dyn, scn):
+        """One jitted frame; returns (new_state, outputs) without syncing."""
+        return self.get_step(spec)(state, dyn, scn)
 
     def make_spec(
         self,
@@ -395,7 +492,8 @@ class JaxSolver(Solver):
     def advance(self, config: SphParams, scene: Scene, xs: ParticleSoA):
         sspec = scene_spec_of(scene, config, self.query_capacity)
         n = len(xs) + sspec.total_spawn
-        capacity = max(128, -(-n // 128) * 128)
+        al = self._cap_align
+        capacity = max(al, -(-n // al) * al)
         spec = self.make_spec(config, scene, capacity)
 
         scn = scene_arrays_of(scene, sspec, self.dtype)
@@ -431,9 +529,9 @@ class JaxSolver(Solver):
         if spec.surface is not None:
             t = int(out["tri_count"])
             mesh = ColouredMesh(
-                vs=np.asarray(out["mesh_vs"])[: t * 3],
-                ns=np.asarray(out["mesh_ns"])[: t * 3],
-                cs=np.asarray(out["mesh_cs"])[: t * 3],
+                vs=np.asarray(out["mesh_vs"]).T[: t * 3],
+                ns=np.asarray(out["mesh_ns"]).T[: t * 3],
+                cs=np.asarray(out["mesh_cs"]).T[: t * 3],
             )
         queries = []
         for qi in range(spec.scene.n_queries):

@@ -1,18 +1,31 @@
-"""On-device spatial index: Morton sort + dense CSR cell table.
+"""On-device spatial index: cell sort + dense CSR cell table.
 
 TPU-native replacement for the reference's host-side sort + grid-table build
 (host std::sort `src/omp/ompsph.hpp:158`, makeGridTable `src/sph.hpp:238-250`):
 everything stays on device inside the jitted step.
 
-Semantics preserved exactly:
-  * cell coords = C-style trunc((pStar - minExtent)/h) (`src/sph.hpp:198-201`)
-  * particles whose Morton code falls outside [0, maxz) are sorted to the end
-    and belong to no cell (the reference's size_t-wrap + `offset >= gridTableN`
-    skip, `src/sph.hpp:207`)
-  * gridTable[z] = first sorted index with code >= z (searchsorted-left is
-    exactly the reference's builder loop)
-  * the last table cell (code maxz-1) is never gathered (end-rule quirk,
-    `src/sph.hpp:208`)
+Design choice (TPU-specific): particles are sorted by **row-major linear cell
+id** (x*NY*NZ + y*NZ + z, z fastest), not by Morton code.  Linear order makes
+every (dx,dy) slice of the 27-cell stencil one *contiguous* range of the
+sorted particle array — which is what lets the Pallas kernels replace
+arbitrary gathers (catastrophically slow on TPU, ~7ns/element measured) with
+contiguous-segment DMA.  The reference's Morton order only affects iteration
+order (fp-summation order) and the writeback permutation, not membership.
+
+Membership/skip semantics still mirror the reference exactly via Morton-code
+checks (the reference skips stencil cells with `offset >= gridTableN`,
+`src/sph.hpp:207`, and never gathers the last table cell, `src/sph.hpp:208`):
+  * a particle is a grid member iff its cell is inside the extent box AND its
+    Morton code is < maxz (excludes exactly the far-corner cell, like the
+    reference)
+  * a stencil target cell is gathered iff in-box and morton(cell)+1 < maxz
+The one intentional divergence: cells *outside* the extent box whose Morton
+code aliases into the table range (reachable in the reference only by
+particles whose pStar overshoots the padded domain before the bounds clamp)
+are treated as invalid here; see SURVEY.md §7 fidelity notes.
+
+The dense table is built with scatter-add + cumsum (O(n + ncells) dense ops)
+instead of searchsorted (binary search = 20+ rounds of slow TPU gathers).
 """
 
 from __future__ import annotations
@@ -28,9 +41,11 @@ from pbf_sph_tpu.ops.curves import morton_encode3
 # 27-cell stencil, x fastest (reference `src/sph.hpp:220-234` order).
 STENCIL27 = [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
-# Sort keys above any valid Morton code (< 2^30): invalid-but-alive, then dead.
-KEY_INVALID = np.int32(1 << 30)
-KEY_DEAD = np.int32((1 << 30) + 1)
+# The 9 (dx,dy) strips of the stencil; each strip covers dz in {-1,0,1} as one
+# contiguous linear-id range.
+STRIPS9 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+Cells = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # three (C,) int32
 
 
 @dataclass(frozen=True)
@@ -46,6 +61,16 @@ class GridSpec:
     extent: Tuple[int, int, int]
     maxz: int
 
+    @property
+    def dims(self) -> Tuple[int, int, int]:
+        """Linear grid dims: cells have coords in [0, extent] inclusive."""
+        return (self.extent[0] + 1, self.extent[1] + 1, self.extent[2] + 1)
+
+    @property
+    def ncells(self) -> int:
+        nx, ny, nz = self.dims
+        return nx * ny * nz
+
     @staticmethod
     def from_bounds(min_bound, max_bound, scale: float, h: float) -> "GridSpec":
         f = np.float32
@@ -57,59 +82,88 @@ class GridSpec:
         return GridSpec(extent=tuple(int(v) for v in extent), maxz=maxz)
 
 
-def cell_coords(pstar, min_extent, h: float):
-    """(C,3) int32 cell coords; may be negative / out of range."""
-    coords = (pstar - min_extent) / jnp.asarray(h, pstar.dtype)
-    coords = jnp.clip(coords, -2.0e9, 2.0e9)
-    coords = jnp.where(jnp.isnan(coords), 2.0e9, coords)
-    return jnp.trunc(coords).astype(jnp.int32)
-
-
-def cell_codes(cells, alive, maxz: int):
-    """Morton codes (int32) with invalid/dead mapped to sort-to-end sentinels.
-
-    Returns (codes, key): `codes` has KEY_INVALID wherever coords are outside
-    the 10-bit Morton domain; `key` additionally maps codes >= maxz and dead
-    slots past every valid key.
-    """
-    in_range = ((cells >= 0) & (cells <= 1023)).all(axis=1)
-    safe = jnp.where(in_range[:, None], cells, 0)
-    z = morton_encode3(safe[:, 0], safe[:, 1], safe[:, 2])
-    codes = jnp.where(in_range, z, KEY_INVALID)
-    key = jnp.where(alive & in_range & (z < maxz), z, KEY_INVALID)
-    key = jnp.where(alive, key, KEY_DEAD)
-    return codes, key
-
-
-def build_grid_table(sorted_key, maxz: int):
-    """Dense CSR cell-start table over the full Morton code range
-    (reference `makeGridTable`, `src/sph.hpp:238-250`)."""
-    targets = jnp.arange(maxz + 1, dtype=jnp.int32)
-    return jnp.searchsorted(sorted_key, targets, side="left").astype(jnp.int32)
-
-
-def stencil_ranges(cells, codes, grid_table, maxz: int) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Per-particle [start, end) candidate ranges for each of the 27 stencil
-    cells (reference `foreach_grid`, `src/sph.hpp:203-236`).  `cells`/`codes`
-    must be in sorted order.  Returns a 27-element list of (start, end)."""
+def cell_coords(pstar: Tuple, min_extent, h: float) -> Cells:
+    """Per-axis (C,) int32 cell coords by C-style truncation
+    (reference `src/sph.hpp:198-201`); may be negative / out of range."""
     out = []
-    center_ok = codes < maxz
-    for d in STENCIL27:
-        nc = cells + jnp.asarray(d, jnp.int32)
-        in_range = ((nc >= 0) & (nc <= 1023)).all(axis=1)
-        safe = jnp.where(in_range[:, None], nc, 0)
-        nz = morton_encode3(safe[:, 0], safe[:, 1], safe[:, 2])
-        ok = center_ok & in_range & (nz < maxz)
-        nz_s = jnp.where(ok, nz, 0)
-        start = grid_table[nz_s]
-        has_next = ok & (nz_s + 1 < maxz)
-        end = jnp.where(has_next, grid_table[jnp.minimum(nz_s + 1, maxz)], start)
-        start = jnp.where(ok, start, 0)
-        end = jnp.where(ok, end, 0)
+    for axis in range(3):
+        c = (pstar[axis] - min_extent[axis]) / jnp.asarray(h, pstar[axis].dtype)
+        c = jnp.clip(c, -2.0e9, 2.0e9)
+        c = jnp.where(jnp.isnan(c), 2.0e9, c)
+        out.append(jnp.trunc(c).astype(jnp.int32))
+    return tuple(out)
+
+
+def sort_key(cells: Cells, alive, spec: GridSpec):
+    """Linear-cell-id sort key with invalid/dead slots pushed to the end.
+
+    Key layout: [0, ncells) valid cell ids; ncells = invalid-but-alive;
+    ncells+1 = dead.  Membership mirrors the reference's Morton rules (see
+    module docstring)."""
+    nx, ny, nz = spec.dims
+    in_box = None
+    for a, n in zip(cells, (nx, ny, nz)):
+        m = (a >= 0) & (a < n)
+        in_box = m if in_box is None else (in_box & m)
+    safe = [jnp.where(in_box, c, 0) for c in cells]
+    z = morton_encode3(safe[0], safe[1], safe[2])
+    member = in_box & (z < spec.maxz)
+    lin = (safe[0] * ny + safe[1]) * nz + safe[2]
+    key = jnp.where(alive & member, lin, jnp.int32(spec.ncells))
+    key = jnp.where(alive, key, jnp.int32(spec.ncells + 1))
+    return key
+
+
+def decode_key(key, spec: GridSpec) -> Tuple[Cells, jnp.ndarray]:
+    """Recover cell coords from a sorted key; returns (cells, member_mask)."""
+    nx, ny, nz = spec.dims
+    member = key < spec.ncells
+    k = jnp.where(member, key, 0)
+    cx = k // (ny * nz)
+    rem = k - cx * (ny * nz)
+    cy = rem // nz
+    cz = rem - cy * nz
+    return (cx, cy, cz), member
+
+
+def build_cell_table(sorted_key, spec: GridSpec):
+    """Dense CSR cell-start table: table[c] = first sorted index with key >= c
+    (same semantics as the reference's `makeGridTable`, `src/sph.hpp:238-250`,
+    over linear ids).  table has ncells+1 entries; table[ncells] = member count.
+
+    Built with scatter-add + exclusive cumsum — dense ops only."""
+    ncells = spec.ncells
+    k = jnp.minimum(sorted_key, ncells)  # invalid+dead pile into the sentinel
+    cnt = jnp.zeros((ncells + 1,), jnp.int32).at[k].add(1, mode="drop")
+    return (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
+
+
+def stencil_ranges(cells: Cells, member, cell_table, spec: GridSpec) -> List[Tuple]:
+    """Per-particle [start, end) candidate ranges for each of the 27 stencil
+    cells (reference `foreach_grid`, `src/sph.hpp:203-236`).  `cells`/`member`
+    must be in sorted order.  Returns a 27-element list of (start, end)."""
+    nx, ny, nz = spec.dims
+    maxz = spec.maxz
+    out = []
+    for dx, dy, dz in STENCIL27:
+        nc = (cells[0] + dx, cells[1] + dy, cells[2] + dz)
+        in_box = (
+            (nc[0] >= 0) & (nc[0] < nx)
+            & (nc[1] >= 0) & (nc[1] < ny)
+            & (nc[2] >= 0) & (nc[2] < nz)
+        )
+        safe = [jnp.where(in_box, c, 0) for c in nc]
+        zc = morton_encode3(safe[0], safe[1], safe[2])
+        # reference skip rule + end-rule quirk (src/sph.hpp:207-208)
+        ok = member & in_box & (zc < maxz) & (zc + 1 < maxz)
+        lin = (safe[0] * ny + safe[1]) * nz + safe[2]
+        lin = jnp.where(ok, lin, 0)
+        start = jnp.where(ok, cell_table[lin], 0)
+        end = jnp.where(ok, cell_table[lin + 1], 0)
         out.append((start, end))
     return out
 
 
-def max_cell_occupancy(grid_table):
+def max_cell_occupancy(cell_table):
     """Largest cell population — the neighbour-gather capacity check."""
-    return jnp.max(grid_table[1:] - grid_table[:-1])
+    return jnp.max(cell_table[1:] - cell_table[:-1])

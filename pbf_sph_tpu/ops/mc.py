@@ -7,6 +7,10 @@ grid, the triangle count is an exclusive cumsum (replacing the workgroup tree
 reduction), and emission scatters into a fixed-capacity buffer at
 cumsum-derived offsets (replacing the global atomic counter — deterministic,
 atomics-free, static shapes).
+
+Layout: everything is component-major / leading-small-axis — lattice normals
+(3, L), colours (4, L), corner values (8, M), edge lerps (12, M), output mesh
+(3, 3T)/(4, 3T) — so the long axis always sits on TPU lanes.
 """
 
 from __future__ import annotations
@@ -55,10 +59,10 @@ def _node_grid(spec: McSpec):
     rem = idx - x * (ny * nz)
     y = rem // nz
     z = rem - y * nz
-    return jnp.stack([x, y, z], axis=1)  # (L,3) int32
+    return (x, y, z)  # three (L,) int32
 
 
-def mc_field(position, colour, ptype, alive, grid_table, maxz: int, min_extent,
+def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
              extent, spec: McSpec, cap: int, h: float, scale,
              particle_size, particle_influence):
     """Metaball lattice field (reference `src/omp/ompsph.hpp:288-356`).
@@ -67,73 +71,87 @@ def mc_field(position, colour, ptype, alive, grid_table, maxz: int, min_extent,
     node's (clamped) grid cell; accumulate v += size/len^infl, the analytic
     normal, and the mean colour.  Division-by-zero conventions (0-normal
     normalize, 0-count colour mean) intentionally reproduce the reference's
-    NaN behaviour; those lattice entries are never consumed by emission."""
+    NaN behaviour; those lattice entries are never consumed by emission.
+
+    `position` (3,C), `colour` (4,C); returns (lat_v (L,), lat_n (3,L), lat_c (4,L)).
+    """
     dtype = position.dtype
-    node = _node_grid(spec)  # (L,3)
-    L = node.shape[0]
+    node = _node_grid(spec)
+    L = node[0].shape[0]
     res = jnp.asarray(spec.resolution, dtype)
     step = jnp.asarray(h, dtype) / res
-    a_world = (min_extent[None, :] + node.astype(dtype) * step) * scale  # (L,3)
+    a_world = [
+        (min_extent[a] + node[a].astype(dtype) * step) * scale for a in range(3)
+    ]  # three (L,)
     threshold = jnp.asarray(h, dtype) * scale
 
-    ext = jnp.asarray(extent, jnp.int32)
-    node_cell = jnp.trunc(node.astype(dtype) / res).astype(jnp.int32)  # (L,3)
-    skip = (node_cell == ext[None, :]).all(axis=1)  # the single far-corner node
+    node_cell = [jnp.trunc(node[a].astype(dtype) / res).astype(jnp.int32) for a in range(3)]
+    skip = (
+        (node_cell[0] == extent[0])
+        & (node_cell[1] == extent[1])
+        & (node_cell[2] == extent[2])
+    )  # the single far-corner node
 
-    clo = jnp.clip(node_cell - 1, 0, ext[None, :] - 1)
-    chi = jnp.clip(node_cell + 1, 0, ext[None, :] - 1)
-    choices = (clo, node_cell, chi)
+    choices = []
+    for a in range(3):
+        lo = jnp.clip(node_cell[a] - 1, 0, extent[a] - 1)
+        hi = jnp.clip(node_cell[a] + 1, 0, extent[a] - 1)
+        choices.append((lo, node_cell[a], hi))
 
     v_acc = jnp.zeros((L,), dtype)
-    n_acc = jnp.zeros((L, 3), dtype)
-    c_acc = jnp.zeros((L, 4), dtype)
+    n_acc = [jnp.zeros((L,), dtype) for _ in range(3)]
+    c_acc = [jnp.zeros((L,), dtype) for _ in range(4)]
     cnt = jnp.zeros((L,), jnp.int32)
 
-    karange = jnp.arange(cap, dtype=jnp.int32)
+    maxz = grid.maxz
+    gx, gy, gz = grid.dims
+    karange = jnp.arange(cap, dtype=jnp.int32)[:, None]
     for ck in (0, 1, 2):  # z choice
         for cj in (0, 1, 2):  # y
             for ci_ in (0, 1, 2):  # x (fastest — reference offsets order)
-                sc = jnp.stack(
-                    [choices[ci_][:, 0], choices[cj][:, 1], choices[ck][:, 2]], axis=1
-                )
-                zc = morton_encode3(sc[:, 0], sc[:, 1], sc[:, 2])
-                ok = (~skip) & (zc < maxz)
-                zc_s = jnp.where(ok, zc, 0)
-                start = jnp.where(ok, grid_table[zc_s], 0)
-                end = jnp.where(
-                    ok & (zc_s + 1 < maxz), grid_table[jnp.minimum(zc_s + 1, maxz)], start
-                )
-                idx = start[:, None] + karange[None, :]
-                mask = idx < end[:, None]
+                sc = (choices[0][ci_], choices[1][cj], choices[2][ck])
+                zc = morton_encode3(sc[0], sc[1], sc[2])
+                # reference skip + end-rule (`src/sph.hpp:207-208`)
+                ok = (~skip) & (zc < maxz) & (zc + 1 < maxz)
+                lin = jnp.where(ok, (sc[0] * gy + sc[1]) * gz + sc[2], 0)
+                start = jnp.where(ok, cell_table[lin], 0)
+                end = jnp.where(ok, cell_table[lin + 1], 0)
+                idx = start[None, :] + karange  # (K, L)
+                mask = idx < end[None, :]
                 idx = jnp.where(mask, idx, 0)
 
-                pb = position[idx]  # (L,K,3)
-                lvec = pb - a_world[:, None, :]
-                dist = jnp.sqrt(jnp.sum(lvec * lvec, axis=-1))
+                lvec = [position[a][idx] - a_world[a][None, :] for a in range(3)]
+                d2 = lvec[0] ** 2 + lvec[1] ** 2 + lvec[2] ** 2
+                dist = jnp.sqrt(d2)
                 use = mask & (ptype[idx] != OBSTACLE) & (dist < threshold)
                 denom = dist**particle_influence
                 denom_safe = jnp.where(use & (denom > 0), denom, 1.0)
                 w = jnp.where(use, particle_size / denom_safe, 0.0)
-                v_acc = v_acc + jnp.sum(w, axis=1)
-                contrib = (-particle_influence) * particle_size * (
-                    lvec / denom_safe[..., None]
-                )
-                n_acc = n_acc + jnp.sum(jnp.where(use[..., None], contrib, 0.0), axis=1)
-                cb = colour[idx]
-                c_acc = c_acc + jnp.sum(jnp.where(use[..., None], cb, 0.0), axis=1)
-                cnt = cnt + jnp.sum(use, axis=1).astype(jnp.int32)
+                v_acc = v_acc + jnp.sum(w, axis=0)
+                usef = use.astype(dtype)
+                coef = (-particle_influence) * particle_size
+                for a in range(3):
+                    n_acc[a] = n_acc[a] + jnp.sum(
+                        coef * (lvec[a] / denom_safe) * usef, axis=0
+                    )
+                for a in range(4):
+                    c_acc[a] = c_acc[a] + jnp.sum(colour[a][idx] * usef, axis=0)
+                cnt = cnt + jnp.sum(use, axis=0).astype(jnp.int32)
 
-    n_norm = jnp.sqrt(jnp.sum(n_acc * n_acc, axis=-1))
-    normals = n_acc / n_norm[:, None]  # NaN where no neighbours (reference parity)
-    lat_c = c_acc / cnt[:, None].astype(dtype)  # NaN where cnt == 0 (parity)
-    return v_acc, normals, lat_c
+    n_norm = jnp.sqrt(n_acc[0] ** 2 + n_acc[1] ** 2 + n_acc[2] ** 2)
+    lat_n = jnp.stack([n_acc[a] / n_norm for a in range(3)])  # NaN when empty (parity)
+    cntf = cnt.astype(dtype)
+    lat_c = jnp.stack([c_acc[a] / cntf for a in range(4)])  # NaN when cnt==0 (parity)
+    return v_acc, lat_n, lat_c
 
 
 def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
                h: float, scale, isolevel):
     """Case classification + cumsum compaction + deterministic emission
     (reference mc_size `src/ocl/oclsph_kernel.h:272-318` and mc_eval
-    `:336-408`, atomics replaced by exclusive-cumsum offsets)."""
+    `:336-408`, atomics replaced by exclusive-cumsum offsets).
+
+    Returns (vs (3, 3T), ns (3, 3T), cs (4, 3T), total)."""
     dtype = lat_v.dtype
     nx, ny, nz = spec.sample
     mx, my, mz = nx - 1, ny - 1, nz - 1
@@ -145,16 +163,20 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     rem = idx - cx * (my * mz)
     cy = rem // mz
     cz = rem - cy * mz
-    cube = jnp.stack([cx, cy, cz], axis=1)  # (M,3)
 
-    offsets8 = jnp.asarray(np.asarray(mct.CUBE_OFFSETS), jnp.int32)  # (8,3)
-    corner = cube[:, None, :] + offsets8[None, :, :]  # (M,8,3)
-    lin = corner[..., 0] * (ny * nz) + corner[..., 1] * nz + corner[..., 2]  # (M,8)
-    vals = lat_v[lin]  # (M,8)
+    # corner linear lattice indices: (8, M)
+    offs8 = np.asarray(mct.CUBE_OFFSETS)
+    lin = jnp.stack(
+        [
+            (cx + int(o[0])) * (ny * nz) + (cy + int(o[1])) * nz + (cz + int(o[2]))
+            for o in offs8
+        ]
+    )
+    vals = lat_v[lin]  # (8, M)
 
-    below = (vals < isolevel).astype(jnp.int32)
-    weights = jnp.asarray([1 << i for i in range(8)], jnp.int32)
-    ci = jnp.sum(below * weights[None, :], axis=1)  # (M,)
+    ci = jnp.zeros((M,), jnp.int32)
+    for i in range(8):
+        ci = ci | ((vals[i] < isolevel).astype(jnp.int32) << i)
 
     edge_t = jnp.asarray(mct.EDGE_TABLE, jnp.int32)
     nvert_t = jnp.asarray(mct.NUM_VERTS_TABLE, jnp.int32)
@@ -164,38 +186,45 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     offs = jnp.cumsum(ntris) - ntris  # exclusive
     total = offs[-1] + ntris[-1]
 
-    # 12 edge interpolants for every cube (uncrossed edges produce NaN via the
-    # raw divide, exactly like the reference's unconditional `scale()`; they
-    # are never selected by TRI_TABLE for the cube's case).
-    e_from = jnp.asarray(mct.EDGE_CORNERS[:, 0], jnp.int32)
-    e_to = jnp.asarray(mct.EDGE_CORNERS[:, 1], jnp.int32)
-    corner_pos = (min_extent[None, None, :] + corner.astype(dtype) * step) * scale  # (M,8,3)
-    corner_nrm = lat_n[lin]  # (M,8,3)
-    corner_col = lat_c[lin]  # (M,8,4)
-    v0 = vals[:, e_from]
-    v1 = vals[:, e_to]
-    t = ((isolevel - v0) / (v1 - v0)).astype(dtype)  # (M,12)
+    # corner attributes, component-major
+    cpos = [
+        (min_extent[a] + (jnp.stack([cx, cy, cz])[a][None, :]
+                          + jnp.asarray(offs8[:, a], jnp.int32)[:, None]).astype(dtype) * step) * scale
+        for a in range(3)
+    ]  # three (8, M)
+    cnrm = [lat_n[a][lin] for a in range(3)]  # (8, M)
+    ccol = [lat_c[a][lin] for a in range(4)]  # (8, M)
 
-    def lerp(a, b):
-        return a + t[..., None] * (b - a)
+    e_from = np.asarray(mct.EDGE_CORNERS[:, 0])
+    e_to = np.asarray(mct.EDGE_CORNERS[:, 1])
+    v0 = vals[e_from]  # (12, M)
+    v1 = vals[e_to]
+    # raw divide: uncrossed edges produce NaN exactly like the reference's
+    # unconditional lerp `scale()`; never selected by TRI_TABLE.
+    t = ((isolevel - v0) / (v1 - v0)).astype(dtype)  # (12, M)
 
-    ev = lerp(corner_pos[:, e_from], corner_pos[:, e_to])  # (M,12,3)
-    en = lerp(corner_nrm[:, e_from], corner_nrm[:, e_to])  # (M,12,3)
-    ec = lerp(corner_col[:, e_from], corner_col[:, e_to])  # (M,12,4)
+    def lerp(arr):  # (8,M) -> (12,M)
+        a, b = arr[e_from], arr[e_to]
+        return a + t * (b - a)
+
+    ev = [lerp(cpos[a]) for a in range(3)]
+    en = [lerp(cnrm[a]) for a in range(3)]
+    ec = [lerp(ccol[a]) for a in range(4)]
 
     cap3 = spec.tri_capacity * 3
-    vs = jnp.zeros((cap3, 3), dtype)
-    ns = jnp.zeros((cap3, 3), dtype)
-    cs = jnp.zeros((cap3, 4), dtype)
+    vs = jnp.zeros((3, cap3), dtype)
+    ns = jnp.zeros((3, cap3), dtype)
+    cs = jnp.zeros((4, cap3), dtype)
     rows = jnp.arange(M, dtype=jnp.int32)
     for ti in range(mct.MAX_TRIS_PER_CUBE):
         has = ti < ntris
-        edges3 = tri_t[ci, 3 * ti : 3 * ti + 3]  # (M,3); -1 entries when !has
         base = (offs + ti) * 3
         for k in range(3):
-            e = jnp.where(has, edges3[:, k], 0)
+            e = jnp.where(has, tri_t[ci, 3 * ti + k], 0)
             dst = jnp.where(has, base + k, cap3)  # cap3 → dropped
-            vs = vs.at[dst].set(ev[rows, e], mode="drop")
-            ns = ns.at[dst].set(en[rows, e], mode="drop")
-            cs = cs.at[dst].set(ec[rows, e], mode="drop")
+            for a in range(3):
+                vs = vs.at[a, dst].set(ev[a][e, rows], mode="drop")
+                ns = ns.at[a, dst].set(en[a][e, rows], mode="drop")
+            for a in range(4):
+                cs = cs.at[a, dst].set(ec[a][e, rows], mode="drop")
     return vs, ns, cs, total

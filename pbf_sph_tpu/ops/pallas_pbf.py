@@ -1,0 +1,492 @@
+"""Pallas TPU kernels for the hot PBF phases (lambda / delta / diffuse).
+
+Why these exist: XLA's arbitrary-index gather runs at ~7ns/element on TPU
+(measured), which makes the 27-cell neighbour gathers of the XLA path
+(`ops/pbf.py`) ~100x slower than the underlying VPU math.  These kernels
+replace every gather with *contiguous-segment DMA*, exploiting the linear
+cell sort (`ops/grid.py`):
+
+  * particles sorted by linear cell id (z fastest) make each x-slab of the
+    stencil — cells [c + dx*NY*NZ - NZ - 1, c + dx*NY*NZ + NZ + 1] — one
+    contiguous range of the sorted array; a block of BLK consecutive
+    particles therefore needs only THREE strip DMAs (dx = -1, 0, +1),
+  * each 32-row sub-block reads its nine (dx,dy)-windows as cheap dynamic
+    VMEM slices into those strips,
+  * strips for block b+1 are DMA'd while block b computes (cross-block
+    double buffering),
+  * pair validity needs no adjacency test for lambda/delta: any candidate
+    beyond +-1 cell is > h away, so poly6/spiky self-mask (the kernels are
+    exactly the reference math, `src/ocl/oclsph_kernel.h:95-162`); diffuse
+    (no distance cutoff in the reference, `src/ocl/oclsph_kernel.h:67-93`)
+    carries exact per-pair cell-coordinate adjacency masks.
+
+Fidelity note: unlike the XLA path, these kernels do not reproduce the
+reference's two boundary-cell quirks (the `offset >= gridTableN` Morton skip
+and the never-gathered last table cell, `src/sph.hpp:207-208`) — both affect
+only the far corner of the padded grid, which the bounds clamp keeps empty.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pbf_sph_tpu.core.constants import DEFAULT_CONSTANTS as K
+from pbf_sph_tpu.ops.grid import GridSpec
+from pbf_sph_tpu.ops.kernels import poly6_factor, spiky_kernel_factor
+
+# Block geometry.  BLK rows per grid step, SUB rows per inner sub-block.
+BLK = 1024
+SUB = 32
+NSUB = BLK // SUB
+WCOL = 64  # window-chunk width (lanes) for the pair tiles
+
+# The nine (dx,dy) strips; dy fastest within each dx so s // 3 = dx index.
+STRIP_DXDY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+@dataclass(frozen=True)
+class PallasPlanSpec:
+    nblocks: int
+    smax: int  # per-dx-strip VMEM capacity (columns)
+
+
+def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: int):
+    """Per-block strip starts + per-sub-block window bounds (XLA precompute,
+    once per frame, shared by all phases).
+
+    Returns (sstart (nblocks,3) int32, wins (nblocks,NSUB,9,2) int32, overflow).
+    `wins[...,0/1]` are window [lo, hi) offsets *relative* to the dx-strip
+    start; `overflow` > 0 means smax must grow (re-specialize)."""
+    C = capacity
+    assert C % BLK == 0
+    nblocks = C // BLK
+    nsub = C // SUB
+    ncells = grid.ncells
+    nx, ny, nz = grid.dims
+    nynz = ny * nz
+
+    lin = jnp.minimum(sorted_key, ncells - 1)
+    member_count = cell_table[ncells]
+    last_valid = lin[jnp.maximum(member_count - 1, 0)]
+    lin = jnp.minimum(lin, last_valid)
+    cmin = lin[0::SUB]  # (nsub,)
+    cmax = lin[SUB - 1 :: SUB]
+
+    # dx-strip extents per *block*
+    cmin_b = cmin.reshape(nblocks, NSUB)[:, 0]
+    cmax_b = cmax.reshape(nblocks, NSUB)[:, -1]
+    sstarts = []
+    for dx in (-1, 0, 1):
+        lo_cell = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
+        sstarts.append(cell_table[lo_cell])
+    sstart = jnp.stack(sstarts, axis=1)  # (nblocks, 3)
+    sstart = jnp.minimum(sstart, max(C - smax, 0)).astype(jnp.int32)
+
+    # (dx,dy)-window bounds per sub-block
+    los, his = [], []
+    for dx, dy in STRIP_DXDY:
+        off = dx * nynz + dy * nz
+        lo_cell = jnp.clip(cmin + off - 1, 0, ncells)
+        hi_cell = jnp.clip(cmax + off + 2, 0, ncells)
+        los.append(cell_table[lo_cell])
+        his.append(cell_table[hi_cell])
+    lo = jnp.stack(los, axis=1).reshape(nblocks, NSUB, 9)
+    hi = jnp.stack(his, axis=1).reshape(nblocks, NSUB, 9)
+    strip_of = jnp.asarray([s // 3 for s in range(9)], jnp.int32)
+    base = jnp.take(sstart, strip_of, axis=1)[:, None, :]  # (nblocks,1,9)
+    rel_lo = lo - base
+    rel_hi = hi - base
+    overflow = jnp.maximum(jnp.max(rel_hi) - smax, 0).astype(jnp.int32)
+    rel_lo = jnp.clip(rel_lo, 0, smax)
+    rel_hi = jnp.clip(rel_hi, 0, smax)
+    wins = jnp.stack([rel_lo, rel_hi], axis=-1).astype(jnp.int32)
+    return sstart, wins, overflow
+
+
+# ---------------------------------------------------------------------------
+# Kernel scaffolding
+# ---------------------------------------------------------------------------
+
+
+def _issue_strip_dmas(p_hbm, sbuf, sems, slot, sstart_row, smax):
+    for s in range(3):
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(sstart_row[0, s], smax)],
+            sbuf.at[slot, s],
+            sems.at[slot, s],
+        ).start()
+
+
+def _wait_strip_dmas(p_hbm, sbuf, sems, slot, smax):
+    for s in range(3):
+        # reconstruct the copy descriptor for wait (src slice values irrelevant)
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot, s], sems.at[slot, s]
+        ).wait()
+
+
+def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity: int,
+                  interpret: bool = False):
+    """Assemble the common pallas_call for one phase.
+
+    body(wins_smem, rows_vmem, strips_vmem_slot, out_ref, t) -> None is the
+    per-sub-block compute; everything else (strip DMA pipelining, window
+    bookkeeping) is shared."""
+    smax = plan.smax
+    nblocks = plan.nblocks
+
+    def kernel(sstart_cur, sstart_nxt, wins, p_any, rows, out, sbuf, sems):
+        b = pl.program_id(0)
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b == 0)
+        def _():
+            _issue_strip_dmas(p_any, sbuf, sems, 0, sstart_cur, smax)
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            _issue_strip_dmas(p_any, sbuf, sems, 1 - slot, sstart_nxt, smax)
+
+        _wait_strip_dmas(p_any, sbuf, sems, slot, smax)
+
+        def sub_body(t, _):
+            body(wins, rows, sbuf, slot, out, t)
+            return 0
+
+        jax.lax.fori_loop(0, NSUB, sub_body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 4), lambda b: (jnp.minimum(b + 1, nblocks - 1), 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, NSUB, 9, 2), lambda b: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((nfields, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nout, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, nfields, smax), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    def call(sstart4, wins, packed):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nout, capacity), jnp.float32),
+            interpret=interpret,
+        )(sstart4, sstart4, wins, packed, packed)
+
+    return call
+
+
+def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry):
+    """Run compute_chunk over WCOL-wide chunks of window (t, s); returns carry."""
+    lo = wins[0, t, s, 0]
+    hi = wins[0, t, s, 1]
+    nchunk = pl.cdiv(hi - lo, WCOL)
+    strip = s // 3
+
+    def chunk_body(wi, carry):
+        o = lo + wi * WCOL
+        cols_left = hi - o
+        return compute_chunk(slot, strip, o, cols_left, carry)
+
+    return jax.lax.fori_loop(0, nchunk, chunk_body, carry)
+
+
+def _col_mask(cols_left):
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, WCOL), 1)
+    return ci < cols_left
+
+
+# ---------------------------------------------------------------------------
+# Lambda
+# ---------------------------------------------------------------------------
+
+
+def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=False):
+    """rho_i = m_i sum poly6; lambda_i = -(rho/RHO-1)/(|gradC/RHO|^2 + CFM)
+    (reference `src/ocl/oclsph_kernel.h:95-123`).
+
+    Packed fields (6, C): [psx, psy, psz, mass, memberf, pad]."""
+    p6f = np.float32(poly6_factor(h))
+    skf = np.float32(spiky_kernel_factor(h))
+    hh = np.float32(h * h)
+    hf = np.float32(h)
+    eps = np.float32(K.EPSILON)
+
+    def body(wins, rows, sbuf, slot, out, t):
+        ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+
+        def chunk(slot_, strip, o, cols_left, carry):
+            p6s, gx, gy, gz = carry
+            bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+            by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+            m = _col_mask(cols_left)
+            dx = ax - bx
+            dy = ay - by
+            dz = az - bz
+            r2 = dx * dx + dy * dy + dz * dz
+            p6 = jnp.where(m & (r2 <= hh), (hh - r2) ** 3, 0.0)
+            r = jnp.sqrt(r2)
+            ok = m & (r >= eps) & (r <= hf)
+            rs = jnp.where(ok, r, 1.0)
+            sg = jnp.where(ok, (hf - rs) ** 2 / rs, 0.0)
+            return (
+                p6s + jnp.sum(p6, axis=1, keepdims=True),
+                gx + jnp.sum(dx * sg, axis=1, keepdims=True),
+                gy + jnp.sum(dy * sg, axis=1, keepdims=True),
+                gz + jnp.sum(dz * sg, axis=1, keepdims=True),
+            )
+
+        zero = jnp.zeros((SUB, 1), jnp.float32)
+        carry = (zero, zero, zero, zero)
+        for s in range(9):
+            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry)
+        p6s, gx, gy, gz = carry
+        mass = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        rho = mass * (p6s * p6f) * memberf
+        rr = np.float32(K.RHO_RECIP)
+        c = skf * rr * memberf
+        norm2 = (gx * c) ** 2 + (gy * c) ** 2 + (gz * c) ** 2
+        ci = rho * rr - 1.0
+        lam = -ci / (norm2 + np.float32(K.CFM_EPSILON))
+        out[0, pl.ds(t * SUB, SUB)] = lam.reshape(SUB)
+
+    return _phase_pallas(body, nfields=6, nout=1, plan=plan, capacity=capacity,
+                         interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------------
+
+
+def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=False):
+    """dp_i = sum spiky_grad * (lam_i + lam_j + s_corr)/RHO
+    (reference `src/ocl/oclsph_kernel.h:125-151`; the bounds clamp is applied
+    by the XLA caller).
+
+    Packed fields (6, C): [psx, psy, psz, lam, memberf, pad]."""
+    p6f = np.float32(poly6_factor(h))
+    skf = np.float32(spiky_kernel_factor(h))
+    hh = np.float32(h * h)
+    hf = np.float32(h)
+    eps = np.float32(K.EPSILON)
+    cdq = np.float32(K.CORR_DELTA_Q * h)
+    p6dq = np.float32(poly6_factor(h)) * (hh - cdq * cdq) ** 3
+    corr_k = np.float32(-K.CORR_K)
+    rr = np.float32(K.RHO_RECIP)
+
+    def body(wins, rows, sbuf, slot, out, t):
+        ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        alam = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+
+        def chunk(slot_, strip, o, cols_left, carry):
+            dxs, dys, dzs = carry
+            bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+            by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+            blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
+            m = _col_mask(cols_left)
+            dx = ax - bx
+            dy = ay - by
+            dz = az - bz
+            r2 = dx * dx + dy * dy + dz * dz
+            p6 = jnp.where(m & (r2 <= hh), p6f * (hh - r2) ** 3, 0.0)
+            xq = p6 * (1.0 / p6dq)
+            x2 = xq * xq
+            corr = corr_k * x2 * x2
+            factor = (alam + blam + corr) * rr
+            r = jnp.sqrt(r2)
+            ok = m & (r >= eps) & (r <= hf)
+            rs = jnp.where(ok, r, 1.0)
+            sg = jnp.where(ok, skf * (hf - rs) ** 2 / rs, 0.0) * factor
+            return (
+                dxs + jnp.sum(dx * sg, axis=1, keepdims=True),
+                dys + jnp.sum(dy * sg, axis=1, keepdims=True),
+                dzs + jnp.sum(dz * sg, axis=1, keepdims=True),
+            )
+
+        zero = jnp.zeros((SUB, 1), jnp.float32)
+        carry = (zero, zero, zero)
+        for s in range(9):
+            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry)
+        dxs, dys, dzs = carry
+        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        out[0, pl.ds(t * SUB, SUB)] = (dxs * memberf).reshape(SUB)
+        out[1, pl.ds(t * SUB, SUB)] = (dys * memberf).reshape(SUB)
+        out[2, pl.ds(t * SUB, SUB)] = (dzs * memberf).reshape(SUB)
+
+    return _phase_pallas(body, nfields=6, nout=3, plan=plan, capacity=capacity,
+                         interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Diffuse
+# ---------------------------------------------------------------------------
+
+
+def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
+                      interpret=False):
+    """Neighbour colour sums + counts over the exact 27-cell stencil
+    (reference `src/ocl/oclsph_kernel.h:67-93`; the mix/clamp runs in XLA).
+
+    Diffusion has no distance cutoff, so pairs carry exact cell-coordinate
+    adjacency masks (fields fx, fy, fz are the integer cell coords as f32).
+
+    Packed fields (8, C): [cr, cg, cb, ca, nonobs, fx, fy, fz].
+    Output (6, C): [sum_r, sum_g, sum_b, sum_a, count, pad]."""
+    dxdy = STRIP_DXDY
+
+    def body(wins, rows, sbuf, slot, out, t):
+        afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+
+        zero = jnp.zeros((SUB, 1), jnp.float32)
+        carry = (zero, zero, zero, zero, zero)
+        for s in range(9):
+            dx_s = np.float32(dxdy[s][0])
+            dy_s = np.float32(dxdy[s][1])
+
+            def chunk(slot_, strip, o, cols_left, carry, dx_s=dx_s, dy_s=dy_s):
+                sr, sg_, sb_, sa, cnt = carry
+                cr = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                cg = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                cb = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                ca = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
+                nb = sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
+                m = _col_mask(cols_left)
+                adj = (
+                    (bfx == afx + dx_s)
+                    & (bfy == afy + dy_s)
+                    & (jnp.abs(bfz - afz) <= 1.0)
+                )
+                w = jnp.where(m & adj & (nb > 0.5), 1.0, 0.0)
+                return (
+                    sr + jnp.sum(cr * w, axis=1, keepdims=True),
+                    sg_ + jnp.sum(cg * w, axis=1, keepdims=True),
+                    sb_ + jnp.sum(cb * w, axis=1, keepdims=True),
+                    sa + jnp.sum(ca * w, axis=1, keepdims=True),
+                    cnt + jnp.sum(w, axis=1, keepdims=True),
+                )
+
+            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry)
+        sr, sg_, sb_, sa, cnt = carry
+        out[0, pl.ds(t * SUB, SUB)] = sr.reshape(SUB)
+        out[1, pl.ds(t * SUB, SUB)] = sg_.reshape(SUB)
+        out[2, pl.ds(t * SUB, SUB)] = sb_.reshape(SUB)
+        out[3, pl.ds(t * SUB, SUB)] = sa.reshape(SUB)
+        out[4, pl.ds(t * SUB, SUB)] = cnt.reshape(SUB)
+        out[5, pl.ds(t * SUB, SUB)] = jnp.zeros((SUB,), jnp.float32)
+
+    return _phase_pallas(body, nfields=8, nout=6, plan=plan, capacity=capacity,
+                         interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side phase wrappers (same signatures/semantics as ops/pbf.py phases)
+# ---------------------------------------------------------------------------
+
+
+def _pad4(sstart):
+    """SMEM blocks want a lane-friendly minor dim; pad (nblocks,3) -> (nblocks,4)."""
+    nb = sstart.shape[0]
+    return jnp.concatenate([sstart, jnp.zeros((nb, 1), jnp.int32)], axis=1)
+
+
+class PallasPhases:
+    """Per-spec factory for the three Pallas phase callables."""
+
+    def __init__(self, capacity: int, grid: GridSpec, h: float, smax: int,
+                 interpret: bool = False):
+        assert capacity % BLK == 0, "capacity must be a multiple of BLK"
+        self.plan = PallasPlanSpec(nblocks=capacity // BLK, smax=smax)
+        self.capacity = capacity
+        self.grid = grid
+        self.h = h
+        self.smax = smax
+        self._lambda = make_lambda_call(self.plan, capacity, h, interpret)
+        self._delta = make_delta_call(self.plan, capacity, h, interpret)
+        self._diffuse = make_diffuse_call(self.plan, capacity, grid, interpret)
+
+    def plan_frame(self, sorted_key, cell_table):
+        sstart, wins, overflow = plan_windows(
+            sorted_key, cell_table, self.grid, self.capacity, self.smax
+        )
+        return _pad4(sstart), wins, overflow
+
+    def lambda_phase(self, sstart4, wins, pstar, mass, memberf, ptype, alive):
+        packed = jnp.stack(
+            [pstar[0], pstar[1], pstar[2], mass, memberf, jnp.zeros_like(mass)]
+        )
+        lam = self._lambda(sstart4, wins, packed)[0]
+        from pbf_sph_tpu.core.types import FLUID
+
+        return jnp.where((ptype == FLUID) & alive, lam, 0.0)
+
+    def delta_phase(self, sstart4, wins, pstar, lam, memberf, ptype, alive,
+                    scale, min_bound, max_bound):
+        packed = jnp.stack(
+            [pstar[0], pstar[1], pstar[2], lam, memberf, jnp.zeros_like(lam)]
+        )
+        dp = self._delta(sstart4, wins, packed)
+        from pbf_sph_tpu.core.types import FLUID
+
+        fluid = (ptype == FLUID) & alive
+        rows = []
+        for a in range(3):
+            moved = (
+                jnp.clip((pstar[a] + dp[a]) * scale, min_bound[a], max_bound[a]) / scale
+            )
+            rows.append(jnp.where(fluid, moved, pstar[a]))
+        return jnp.stack(rows)
+
+    def diffuse(self, sstart4, wins, colour, cells, memberf, ptype, alive, dt):
+        from pbf_sph_tpu.core.types import FLUID, OBSTACLE
+
+        dtype = colour.dtype
+        nonobs = ((ptype != OBSTACLE) & alive).astype(dtype) * memberf
+        # non-member rows must also not *gather* — blank their coords so the
+        # adjacency test never fires (cells of sentinel rows are garbage)
+        fx = jnp.where(memberf > 0, cells[0].astype(dtype), -1e9)
+        packed = jnp.stack(
+            [colour[0], colour[1], colour[2], colour[3], nonobs,
+             fx, cells[1].astype(dtype), cells[2].astype(dtype)]
+        )
+        outs = self._diffuse(sstart4, wins, packed)
+        mixture = outs[:4]
+        cnt = outs[4]
+        cnt_safe = jnp.maximum(cnt, 1.0)
+        upd = (ptype == FLUID) & alive & (cnt > 0.5)
+        rows = []
+        for a in range(4):
+            target = (mixture[a] / cnt_safe) * jnp.asarray(1.33, dtype)
+            mixed = colour[a] + (dt / jnp.asarray(750.0, dtype)) * (target - colour[a])
+            rows.append(jnp.where(upd, jnp.clip(mixed, 0.03, 1.0), colour[a]))
+        return jnp.stack(rows)

@@ -100,7 +100,18 @@ def test_scene_parity():
     )
     (rj, xj), (rn, xn) = run_both(cfg, scene, particles, frames=1, motion=False)
     assert len(xj) == len(xn)
-    assert_state_close(xj, xn, pos_atol=0.05, vel_atol=0.05)
+
+    # source-spawned particles share one tag id (reference semantics,
+    # `src/omp/ompsph.hpp:102`), so order among equal ids is ambiguous;
+    # canonicalize by (id, position)
+    def canon(xs):
+        o = np.lexsort((xs.position[:, 2], xs.position[:, 1], xs.position[:, 0], xs.pid))
+        from pbf_sph_tpu.core.types import ParticleSoA
+
+        return ParticleSoA(xs.pid[o], xs.ptype[o], xs.mass[o],
+                           xs.position[o], xs.velocity[o], xs.colour[o])
+
+    assert_state_close(canon(xj), canon(xn), pos_atol=0.05, vel_atol=0.05)
     assert len(rj.queries) == len(rn.queries) == 1
     assert set(rj.queries[0].neighbours.tolist()) == set(rn.queries[0].neighbours.tolist())
 
