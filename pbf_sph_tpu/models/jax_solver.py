@@ -346,11 +346,12 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             )
             for _ in range(spec.iteration):
                 lam = phases.lambda_phase(
-                    sstart4, wins, pstar, state.mass, memberf, state.ptype, state.alive
+                    sstart4, wins, pstar, state.mass, memberf, state.ptype,
+                    state.alive, cells,
                 )
                 pstar = phases.delta_phase(
                     sstart4, wins, pstar, lam, memberf, state.ptype, state.alive,
-                    scale, min_bound, max_bound,
+                    scale, min_bound, max_bound, cells,
                 )
 
         # 10. finalise

@@ -60,6 +60,12 @@ class GridSpec:
 
     extent: Tuple[int, int, int]
     maxz: int
+    # True: replicate the reference's Morton-table boundary quirks exactly
+    # (single-chip parity mode).  False: clean semantics — every in-box cell
+    # is a valid member/target (used by the multichip domain decomposition,
+    # where a local slab's "far corner" is an interior cell of the global
+    # domain and must not be dropped).
+    quirks: bool = True
 
     @property
     def dims(self) -> Tuple[int, int, int]:
@@ -106,8 +112,11 @@ def sort_key(cells: Cells, alive, spec: GridSpec):
         m = (a >= 0) & (a < n)
         in_box = m if in_box is None else (in_box & m)
     safe = [jnp.where(in_box, c, 0) for c in cells]
-    z = morton_encode3(safe[0], safe[1], safe[2])
-    member = in_box & (z < spec.maxz)
+    if spec.quirks:
+        z = morton_encode3(safe[0], safe[1], safe[2])
+        member = in_box & (z < spec.maxz)
+    else:
+        member = in_box
     lin = (safe[0] * ny + safe[1]) * nz + safe[2]
     key = jnp.where(alive & member, lin, jnp.int32(spec.ncells))
     key = jnp.where(alive, key, jnp.int32(spec.ncells + 1))
@@ -153,9 +162,12 @@ def stencil_ranges(cells: Cells, member, cell_table, spec: GridSpec) -> List[Tup
             & (nc[2] >= 0) & (nc[2] < nz)
         )
         safe = [jnp.where(in_box, c, 0) for c in nc]
-        zc = morton_encode3(safe[0], safe[1], safe[2])
-        # reference skip rule + end-rule quirk (src/sph.hpp:207-208)
-        ok = member & in_box & (zc < maxz) & (zc + 1 < maxz)
+        if spec.quirks:
+            zc = morton_encode3(safe[0], safe[1], safe[2])
+            # reference skip rule + end-rule quirk (src/sph.hpp:207-208)
+            ok = member & in_box & (zc < maxz) & (zc + 1 < maxz)
+        else:
+            ok = member & in_box
         lin = (safe[0] * ny + safe[1]) * nz + safe[2]
         lin = jnp.where(ok, lin, 0)
         start = jnp.where(ok, cell_table[lin], 0)

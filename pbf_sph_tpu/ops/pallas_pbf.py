@@ -44,9 +44,12 @@ from pbf_sph_tpu.ops.kernels import poly6_factor, spiky_kernel_factor
 
 # Block geometry.  BLK rows per grid step, SUB rows per inner sub-block.
 BLK = 1024
-SUB = 32
+SUB = 64
 NSUB = BLK // SUB
-WCOL = 64  # window-chunk width (lanes) for the pair tiles
+# Window-chunk width: TPU lane count — windows are processed as 128-aligned
+# lane chunks because Mosaic requires dynamic minor-dim offsets to be
+# provably 128-aligned.
+WCOL = 128
 
 # The nine (dx,dy) strips; dy fastest within each dx so s // 3 = dx index.
 STRIP_DXDY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -88,6 +91,9 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
         lo_cell = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
         sstarts.append(cell_table[lo_cell])
     sstart = jnp.stack(sstarts, axis=1)  # (nblocks, 3)
+    # align strip starts down to the TPU lane count (Mosaic DMA alignment);
+    # windows are relative so coverage is unchanged
+    sstart = (sstart // WCOL) * WCOL
     sstart = jnp.minimum(sstart, max(C - smax, 0)).astype(jnp.int32)
 
     # (dx,dy)-window bounds per sub-block
@@ -118,8 +124,9 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
 
 def _issue_strip_dmas(p_hbm, sbuf, sems, slot, sstart_row, smax):
     for s in range(3):
+        start = pl.multiple_of(sstart_row[0, s], WCOL)
         pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(sstart_row[0, s], smax)],
+            p_hbm.at[:, pl.ds(start, smax)],
             sbuf.at[slot, s],
             sems.at[slot, s],
         ).start()
@@ -157,11 +164,8 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
         _wait_strip_dmas(p_any, sbuf, sems, slot, smax)
 
-        def sub_body(t, _):
+        for t in range(NSUB):  # static: row offsets must be compile-time
             body(wins, rows, sbuf, slot, out, t)
-            return 0
-
-        jax.lax.fori_loop(0, NSUB, sub_body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -195,23 +199,23 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
 
 def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry):
-    """Run compute_chunk over WCOL-wide chunks of window (t, s); returns carry."""
+    """Run compute_chunk over 128-aligned chunks covering window (t, s)."""
     lo = wins[0, t, s, 0]
     hi = wins[0, t, s, 1]
-    nchunk = pl.cdiv(hi - lo, WCOL)
+    c0 = lo // WCOL
+    nchunk = pl.cdiv(hi - c0 * WCOL, WCOL)
     strip = s // 3
 
     def chunk_body(wi, carry):
-        o = lo + wi * WCOL
-        cols_left = hi - o
-        return compute_chunk(slot, strip, o, cols_left, carry)
+        o = pl.multiple_of((c0 + wi) * WCOL, WCOL)
+        return compute_chunk(slot, strip, o, lo, hi, carry)
 
     return jax.lax.fori_loop(0, nchunk, chunk_body, carry)
 
 
-def _col_mask(cols_left):
-    ci = jax.lax.broadcasted_iota(jnp.int32, (1, WCOL), 1)
-    return ci < cols_left
+def _col_mask(o, lo, hi):
+    g = o + jax.lax.broadcasted_iota(jnp.int32, (1, WCOL), 1)
+    return (g >= lo) & (g < hi)
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +227,10 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fa
     """rho_i = m_i sum poly6; lambda_i = -(rho/RHO-1)/(|gradC/RHO|^2 + CFM)
     (reference `src/ocl/oclsph_kernel.h:95-123`).
 
-    Packed fields (6, C): [psx, psy, psz, mass, memberf, pad]."""
+    Packed fields (8, C): [psx, psy, psz, mass, memberf, fx, fy, fz]
+    (fx/fy/fz are the integer cell coords as f32 — a sub-block's (dx,dy)
+    windows can overlap when it spans several y-rows, so pairs carry exact
+    cell-adjacency masks to avoid double counting)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -234,33 +241,45 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fa
         ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        def chunk(slot_, strip, o, cols_left, carry):
-            p6s, gx, gy, gz = carry
-            bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
-            by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
-            bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-            m = _col_mask(cols_left)
-            dx = ax - bx
-            dy = ay - by
-            dz = az - bz
-            r2 = dx * dx + dy * dy + dz * dz
-            p6 = jnp.where(m & (r2 <= hh), (hh - r2) ** 3, 0.0)
-            r = jnp.sqrt(r2)
-            ok = m & (r >= eps) & (r <= hf)
-            rs = jnp.where(ok, r, 1.0)
-            sg = jnp.where(ok, (hf - rs) ** 2 / rs, 0.0)
-            return (
-                p6s + jnp.sum(p6, axis=1, keepdims=True),
-                gx + jnp.sum(dx * sg, axis=1, keepdims=True),
-                gy + jnp.sum(dy * sg, axis=1, keepdims=True),
-                gz + jnp.sum(dz * sg, axis=1, keepdims=True),
-            )
+        def make_chunk(dx_s, dy_s):
+            def chunk(slot_, strip, o, lo, hi, carry):
+                p6s, gx, gy, gz = carry
+                bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
+                m = _col_mask(o, lo, hi)
+                m = m & (bfx == afx + dx_s) & (bfy == afy + dy_s)
+                m = m & (jnp.abs(bfz - afz) <= 1.0)
+                dx = ax - bx
+                dy = ay - by
+                dz = az - bz
+                r2 = dx * dx + dy * dy + dz * dz
+                p6 = jnp.where(m & (r2 <= hh), (hh - r2) ** 3, 0.0)
+                r = jnp.sqrt(r2)
+                ok = m & (r >= eps) & (r <= hf)
+                rs = jnp.where(ok, r, 1.0)
+                sg = jnp.where(ok, (hf - rs) ** 2 / rs, 0.0)
+                return (
+                    p6s + jnp.sum(p6, axis=1, keepdims=True),
+                    gx + jnp.sum(dx * sg, axis=1, keepdims=True),
+                    gy + jnp.sum(dy * sg, axis=1, keepdims=True),
+                    gz + jnp.sum(dz * sg, axis=1, keepdims=True),
+                )
+
+            return chunk
 
         zero = jnp.zeros((SUB, 1), jnp.float32)
         carry = (zero, zero, zero, zero)
         for s in range(9):
-            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry)
+            dx_s, dy_s = np.float32(STRIP_DXDY[s][0]), np.float32(STRIP_DXDY[s][1])
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(dx_s, dy_s), carry)
         p6s, gx, gy, gz = carry
         mass = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
@@ -272,7 +291,7 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fa
         lam = -ci / (norm2 + np.float32(K.CFM_EPSILON))
         out[0, pl.ds(t * SUB, SUB)] = lam.reshape(SUB)
 
-    return _phase_pallas(body, nfields=6, nout=1, plan=plan, capacity=capacity,
+    return _phase_pallas(body, nfields=8, nout=1, plan=plan, capacity=capacity,
                          interpret=interpret)
 
 
@@ -286,7 +305,8 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fal
     (reference `src/ocl/oclsph_kernel.h:125-151`; the bounds clamp is applied
     by the XLA caller).
 
-    Packed fields (6, C): [psx, psy, psz, lam, memberf, pad]."""
+    Packed fields (8, C): [psx, psy, psz, lam, memberf, fx, fy, fz]
+    (cell-adjacency masked like the lambda kernel)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -302,44 +322,56 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fal
         ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         alam = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        def chunk(slot_, strip, o, cols_left, carry):
-            dxs, dys, dzs = carry
-            bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
-            by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
-            bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-            blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-            m = _col_mask(cols_left)
-            dx = ax - bx
-            dy = ay - by
-            dz = az - bz
-            r2 = dx * dx + dy * dy + dz * dz
-            p6 = jnp.where(m & (r2 <= hh), p6f * (hh - r2) ** 3, 0.0)
-            xq = p6 * (1.0 / p6dq)
-            x2 = xq * xq
-            corr = corr_k * x2 * x2
-            factor = (alam + blam + corr) * rr
-            r = jnp.sqrt(r2)
-            ok = m & (r >= eps) & (r <= hf)
-            rs = jnp.where(ok, r, 1.0)
-            sg = jnp.where(ok, skf * (hf - rs) ** 2 / rs, 0.0) * factor
-            return (
-                dxs + jnp.sum(dx * sg, axis=1, keepdims=True),
-                dys + jnp.sum(dy * sg, axis=1, keepdims=True),
-                dzs + jnp.sum(dz * sg, axis=1, keepdims=True),
-            )
+        def make_chunk(dx_s, dy_s):
+            def chunk(slot_, strip, o, lo, hi, carry):
+                dxs, dys, dzs = carry
+                bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
+                m = _col_mask(o, lo, hi)
+                m = m & (bfx == afx + dx_s) & (bfy == afy + dy_s)
+                m = m & (jnp.abs(bfz - afz) <= 1.0)
+                dx = ax - bx
+                dy = ay - by
+                dz = az - bz
+                r2 = dx * dx + dy * dy + dz * dz
+                p6 = jnp.where(m & (r2 <= hh), p6f * (hh - r2) ** 3, 0.0)
+                xq = p6 * (1.0 / p6dq)
+                x2 = xq * xq
+                corr = corr_k * x2 * x2
+                factor = (alam + blam + corr) * rr
+                r = jnp.sqrt(r2)
+                ok = m & (r >= eps) & (r <= hf)
+                rs = jnp.where(ok, r, 1.0)
+                sg = jnp.where(ok, skf * (hf - rs) ** 2 / rs, 0.0) * factor
+                return (
+                    dxs + jnp.sum(dx * sg, axis=1, keepdims=True),
+                    dys + jnp.sum(dy * sg, axis=1, keepdims=True),
+                    dzs + jnp.sum(dz * sg, axis=1, keepdims=True),
+                )
+
+            return chunk
 
         zero = jnp.zeros((SUB, 1), jnp.float32)
         carry = (zero, zero, zero)
         for s in range(9):
-            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry)
+            dx_s, dy_s = np.float32(STRIP_DXDY[s][0]), np.float32(STRIP_DXDY[s][1])
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(dx_s, dy_s), carry)
         dxs, dys, dzs = carry
         memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         out[0, pl.ds(t * SUB, SUB)] = (dxs * memberf).reshape(SUB)
         out[1, pl.ds(t * SUB, SUB)] = (dys * memberf).reshape(SUB)
         out[2, pl.ds(t * SUB, SUB)] = (dzs * memberf).reshape(SUB)
 
-    return _phase_pallas(body, nfields=6, nout=3, plan=plan, capacity=capacity,
+    return _phase_pallas(body, nfields=8, nout=3, plan=plan, capacity=capacity,
                          interpret=interpret)
 
 
@@ -357,7 +389,7 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
     adjacency masks (fields fx, fy, fz are the integer cell coords as f32).
 
     Packed fields (8, C): [cr, cg, cb, ca, nonobs, fx, fy, fz].
-    Output (6, C): [sum_r, sum_g, sum_b, sum_a, count, pad]."""
+    Output (8, C): [sum_r, sum_g, sum_b, sum_a, count, pad x3]."""
     dxdy = STRIP_DXDY
 
     def body(wins, rows, sbuf, slot, out, t):
@@ -371,7 +403,7 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
             dx_s = np.float32(dxdy[s][0])
             dy_s = np.float32(dxdy[s][1])
 
-            def chunk(slot_, strip, o, cols_left, carry, dx_s=dx_s, dy_s=dy_s):
+            def chunk(slot_, strip, o, lo, hi, carry, dx_s=dx_s, dy_s=dy_s):
                 sr, sg_, sb_, sa, cnt = carry
                 cr = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
                 cg = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
@@ -381,7 +413,7 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
                 bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = _col_mask(cols_left)
+                m = _col_mask(o, lo, hi)
                 adj = (
                     (bfx == afx + dx_s)
                     & (bfy == afy + dy_s)
@@ -403,9 +435,9 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
         out[2, pl.ds(t * SUB, SUB)] = sb_.reshape(SUB)
         out[3, pl.ds(t * SUB, SUB)] = sa.reshape(SUB)
         out[4, pl.ds(t * SUB, SUB)] = cnt.reshape(SUB)
-        out[5, pl.ds(t * SUB, SUB)] = jnp.zeros((SUB,), jnp.float32)
 
-    return _phase_pallas(body, nfields=8, nout=6, plan=plan, capacity=capacity,
+
+    return _phase_pallas(body, nfields=8, nout=8, plan=plan, capacity=capacity,
                          interpret=interpret)
 
 
@@ -441,20 +473,20 @@ class PallasPhases:
         )
         return _pad4(sstart), wins, overflow
 
-    def lambda_phase(self, sstart4, wins, pstar, mass, memberf, ptype, alive):
-        packed = jnp.stack(
-            [pstar[0], pstar[1], pstar[2], mass, memberf, jnp.zeros_like(mass)]
-        )
+    def lambda_phase(self, sstart4, wins, pstar, mass, memberf, ptype, alive, cells):
+        f = pstar.dtype
+        packed = jnp.stack([pstar[0], pstar[1], pstar[2], mass, memberf,
+                            cells[0].astype(f), cells[1].astype(f), cells[2].astype(f)])
         lam = self._lambda(sstart4, wins, packed)[0]
         from pbf_sph_tpu.core.types import FLUID
 
         return jnp.where((ptype == FLUID) & alive, lam, 0.0)
 
     def delta_phase(self, sstart4, wins, pstar, lam, memberf, ptype, alive,
-                    scale, min_bound, max_bound):
-        packed = jnp.stack(
-            [pstar[0], pstar[1], pstar[2], lam, memberf, jnp.zeros_like(lam)]
-        )
+                    scale, min_bound, max_bound, cells):
+        f = pstar.dtype
+        packed = jnp.stack([pstar[0], pstar[1], pstar[2], lam, memberf,
+                            cells[0].astype(f), cells[1].astype(f), cells[2].astype(f)])
         dp = self._delta(sstart4, wins, packed)
         from pbf_sph_tpu.core.types import FLUID
 

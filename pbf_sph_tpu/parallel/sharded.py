@@ -1,0 +1,418 @@
+"""Multi-chip domain decomposition: shard_map + ppermute halo exchange.
+
+New capability beyond the reference (which is strictly single-device; see
+SURVEY.md §2.3): the particle set is decomposed into x-axis slabs over a 1D
+`jax.sharding.Mesh` axis ("x").  Each device owns the particles inside its
+slab; each step
+
+  1. advects locally,
+  2. migrates particles whose new cell crossed a slab boundary to the
+     neighbouring device (fixed-capacity send buffers over `ppermute` — the
+     ICI neighbour-exchange pattern),
+  3. exchanges one-cell-deep ghost layers with both neighbours,
+  4. runs the PBF constraint solve locally, re-exchanging the ghost layer's
+     lambda and pStar every solver iteration, so owned particles see exactly
+     the same neighbourhoods as a single-device run (results match a
+     single-chip run to fp tolerance).
+
+The decomposition assumes the interaction radius h equals one grid cell, so a
+one-cell ghost layer is sufficient — the same property the reference's 27-cell
+stencil relies on (`src/sph.hpp:216-236`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pbf_sph_tpu.core.types import FLUID, FluidState
+from pbf_sph_tpu.ops import pbf
+from pbf_sph_tpu.ops.grid import GridSpec, build_cell_table, decode_key, stencil_ranges
+
+AXIS = "x"
+
+
+@dataclass(frozen=True)
+class ShardSpec:
+    n_dev: int
+    cap_local: int        # owned-particle capacity per device
+    ghost_cap: int        # ghost slots per side
+    migrate_cap: int      # migration slots per direction per step
+    slab_w: int           # owned cells per device along x
+    grid_global: GridSpec
+    h: float
+    scale: float
+    iteration: int
+    cell_capacity: int
+    dtype: str = "float32"
+
+    @property
+    def grid_local(self) -> GridSpec:
+        gx, gy, gz = self.grid_global.dims
+        # local grid: slab_w owned columns + one ghost column each side
+        return GridSpec(
+            extent=(self.slab_w + 1, gy - 1, gz - 1),
+            maxz=self.grid_global.maxz,
+            quirks=False,
+        )
+
+    @property
+    def cap_total(self) -> int:
+        return self.cap_local + 2 * self.ghost_cap
+
+    @staticmethod
+    def create(config, n_dev: int, count: int, h: float,
+               cell_capacity: int = 48, dtype: str = "float32",
+               cap_local: int = 0) -> "ShardSpec":
+        grid = GridSpec.from_bounds(config.min_bound, config.max_bound, config.scale, h)
+        gx = grid.dims[0]
+        slab_w = -(-gx // n_dev)
+        if cap_local <= 0:
+            # dam-style scenes are heavily imbalanced across slabs; default to
+            # room for the whole set on one device below 4 devices' worth
+            cap_local = max(256, -(-int(count) // 128) * 128)
+        gy, gz = grid.dims[1], grid.dims[2]
+        ghost_cap = max(128, -(-(gy * gz * 8) // 128) * 128)
+        ghost_cap = min(ghost_cap, cap_local)
+        return ShardSpec(
+            n_dev=n_dev,
+            cap_local=cap_local,
+            ghost_cap=ghost_cap,
+            migrate_cap=min(cap_local, max(128, ghost_cap)),
+            slab_w=slab_w,
+            grid_global=grid,
+            h=h,
+            scale=float(config.scale),
+            iteration=int(config.iteration),
+            cell_capacity=cell_capacity,
+            dtype=dtype,
+        )
+
+
+def _perm(n: int, shift: int):
+    """ppermute pairs sending each device d to d+shift (non-periodic)."""
+    return [(d, d + shift) for d in range(n) if 0 <= d + shift < n]
+
+
+def _compact_first(flag, cap: int):
+    """Indices of the first `cap` rows where flag is True (padded with the
+    remaining rows); returns (idx (cap,), valid (cap,))."""
+    order = jnp.argsort(~flag, stable=True)
+    idx = order[:cap]
+    return idx, flag[idx]
+
+
+def build_sharded_step(spec: ShardSpec, mesh: Mesh):
+    """Returns step(state, dyn) -> (state, stats); state arrays are sharded
+    along their last axis (capacity) over mesh axis AXIS."""
+    dtype = jnp.dtype(spec.dtype)
+    D = spec.n_dev
+    CL = spec.cap_local
+    H = spec.ghost_cap
+    M = spec.migrate_cap
+    CT = spec.cap_total
+    K = spec.cell_capacity
+    lgrid = spec.grid_local
+    gny, gnz = spec.grid_global.dims[1], spec.grid_global.dims[2]
+
+    def local_step(state: FluidState, dyn: Dict[str, Any]):
+        me = jax.lax.axis_index(AXIS)
+        h = spec.h
+        scale = jnp.asarray(spec.scale, dtype)
+        dt = dyn["dt"].astype(dtype)
+        min_bound = dyn["min_bound"].astype(dtype)
+        max_bound = dyn["max_bound"].astype(dtype)
+        padding = jnp.asarray(h, dtype) * 2
+        min_extent = min_bound / scale - padding
+
+        # ghost slots (tail 2H rows) always start dead
+        alive = state.alive.at[CL:].set(False)
+        state = dataclasses.replace(state, alive=alive)
+
+        # 1. advect
+        vel, pstar = pbf.advect(
+            state.position, state.velocity, state.mass, state.ptype, state.alive,
+            jnp.zeros((0, 3), dtype), jnp.zeros((0,), dtype),
+            dyn["constant_force"].astype(dtype), dt, scale,
+        )
+
+        # 2. migration by global x-cell
+        gcx = jnp.trunc(
+            jnp.clip((pstar[0] - min_extent[0]) / jnp.asarray(h, dtype), -2e9, 2e9)
+        ).astype(jnp.int32)
+        owner = jnp.clip(gcx // spec.slab_w, 0, D - 1)
+        owner = jnp.clip(owner, me - 1, me + 1)  # one-slab hop per step
+        go_left = state.alive & (owner < me)
+        go_right = state.alive & (owner > me)
+
+        fields = dict(
+            pid=state.pid, ptype=state.ptype, mass=state.mass,
+            px=state.position[0], py=state.position[1], pz=state.position[2],
+            vx=vel[0], vy=vel[1], vz=vel[2],
+            cr=state.colour[0], cg=state.colour[1], cb=state.colour[2],
+            ca=state.colour[3],
+        )
+
+        def pack(flag, cap):
+            idx, valid = _compact_first(flag, cap)
+            buf = {k: jnp.where(valid, v[idx], 0) for k, v in fields.items()}
+            buf["valid"] = valid
+            return buf
+
+        send_l = pack(go_left, M)
+        send_r = pack(go_right, M)
+        alive = state.alive & (owner == me)
+
+        recv_from_r = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, AXIS, _perm(D, -1)), send_l
+        )
+        recv_from_l = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, AXIS, _perm(D, +1)), send_r
+        )
+
+        # merge immigrants into dead owned slots
+        def merge(alive, vel, pstar, recv):
+            nonlocal fields
+            slots_idx, _ = _compact_first(~alive[:CL], M)
+            can = (~alive[slots_idx]) & recv["valid"]
+            upd = {}
+            for k in fields:
+                upd[k] = fields[k].at[slots_idx].set(
+                    jnp.where(can, recv[k].astype(fields[k].dtype), fields[k][slots_idx])
+                )
+            fields = upd
+            alive = alive.at[slots_idx].set(alive[slots_idx] | can)
+            migrate_dropped = jnp.sum(recv["valid"]) - jnp.sum(can)
+            return alive, migrate_dropped
+
+        alive, drop_r = merge(alive, vel, pstar, recv_from_r)
+        alive, drop_l = merge(alive, vel, pstar, recv_from_l)
+
+        # rebuild vectors after merge; immigrants recompute pstar from v/pos
+        position = jnp.stack([fields["px"], fields["py"], fields["pz"]])
+        vel = jnp.stack([fields["vx"], fields["vy"], fields["vz"]])
+        colour = jnp.stack([fields["cr"], fields["cg"], fields["cb"], fields["ca"]])
+        ptype = fields["ptype"]
+        pid = fields["pid"]
+        mass = fields["mass"]
+        fluid = (ptype == FLUID) & alive
+        pstar = jnp.stack(
+            [
+                jnp.where(fluid, vel[a] * dt + position[a] / scale, position[a] / scale)
+                for a in range(3)
+            ]
+        )
+
+        # 3. ghost layer exchange (one-cell-deep boundary columns)
+        gcx = jnp.trunc(
+            jnp.clip((pstar[0] - min_extent[0]) / jnp.asarray(h, dtype), -2e9, 2e9)
+        ).astype(jnp.int32)
+        lcx = gcx - me * spec.slab_w  # owned columns are [0, slab_w)
+        bl = alive & (lcx == 0)
+        br = alive & (lcx == spec.slab_w - 1)
+        idx_bl, val_bl = _compact_first(bl, H)
+        idx_br, val_br = _compact_first(br, H)
+
+        def ghost_pack(idx, valid):
+            return dict(
+                px=jnp.where(valid, pstar[0][idx], 1e9),
+                py=jnp.where(valid, pstar[1][idx], 1e9),
+                pz=jnp.where(valid, pstar[2][idx], 1e9),
+                mass=jnp.where(valid, mass[idx], 0),
+                ptype=jnp.where(valid, ptype[idx], 0),
+                cr=jnp.where(valid, colour[0][idx], 0),
+                cg=jnp.where(valid, colour[1][idx], 0),
+                cb=jnp.where(valid, colour[2][idx], 0),
+                ca=jnp.where(valid, colour[3][idx], 0),
+                posx=jnp.where(valid, position[0][idx], 1e9),
+                posy=jnp.where(valid, position[1][idx], 1e9),
+                posz=jnp.where(valid, position[2][idx], 1e9),
+                valid=valid,
+            )
+
+        ghost_to_l = ghost_pack(idx_bl, val_bl)  # our left boundary -> left nbr
+        ghost_to_r = ghost_pack(idx_br, val_br)  # our right boundary -> right nbr
+        # what we RECEIVE from the left is the left neighbour's RIGHT boundary
+        ghost_from_l = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, AXIS, _perm(D, +1)), ghost_to_r
+        )
+        ghost_from_r = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, AXIS, _perm(D, -1)), ghost_to_l
+        )
+
+        # install ghosts in the tail slots [CL, CL+2H)
+        def install(ghost, lo):
+            nonlocal pstar, mass, ptype, colour, alive, position
+            sl = slice(lo, lo + H)
+            pstar = pstar.at[0, sl].set(ghost["px"]).at[1, sl].set(ghost["py"]).at[2, sl].set(ghost["pz"])
+            position = position.at[0, sl].set(ghost["posx"]).at[1, sl].set(ghost["posy"]).at[2, sl].set(ghost["posz"])
+            mass = mass.at[sl].set(ghost["mass"].astype(dtype))
+            ptype = ptype.at[sl].set(ghost["ptype"])
+            colour = (
+                colour.at[0, sl].set(ghost["cr"]).at[1, sl].set(ghost["cg"])
+                .at[2, sl].set(ghost["cb"]).at[3, sl].set(ghost["ca"])
+            )
+            alive = alive.at[sl].set(ghost["valid"])
+
+        install(ghost_from_l, CL)        # ghosts on our left edge
+        install(ghost_from_r, CL + H)    # ghosts on our right edge
+
+        # 4. local sort over the local grid (owned + ghost columns)
+        lcells = (
+            jnp.clip(gcx, -(1 << 20), 1 << 20) - me * spec.slab_w + 1,
+        )
+        # recompute all three local coords from pstar
+        from pbf_sph_tpu.ops.grid import cell_coords, sort_key
+
+        cells_g = cell_coords(pstar, min_extent, h)
+        cells_l = (cells_g[0] - me * spec.slab_w + 1, cells_g[1], cells_g[2])
+        key = sort_key(cells_l, alive, lgrid)
+        order = jnp.argsort(key, stable=True)
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(CT, dtype=order.dtype))
+        key = key[order]
+        pid, ptype, mass, alive = pid[order], ptype[order], mass[order], alive[order]
+        position = position[:, order]
+        vel = vel[:, order]
+        colour = colour[:, order]
+        pstar = pstar[:, order]
+        cells_l = tuple(c[order] for c in cells_l)
+        member = key < lgrid.ncells
+
+        cell_table = build_cell_table(key, lgrid)
+        ranges = stencil_ranges(cells_l, member, cell_table, lgrid)
+
+        # sorted positions of the ghost slots + of our boundary particles
+        ghost_pos_l = inv[CL : CL + H]
+        ghost_pos_r = inv[CL + H : CL + 2 * H]
+        bpos_l = inv[idx_bl]
+        bpos_r = inv[idx_br]
+
+        # 5. diffuse
+        colour = pbf.diffuse(colour, ptype, alive, ranges, K, dt)
+
+        # 6. constraint solve with per-iteration halo refresh
+        def refresh(arr1d, bpos_l, bpos_r, ghost_pos_l, ghost_pos_r):
+            to_l = arr1d[bpos_l]
+            to_r = arr1d[bpos_r]
+            from_l = jax.lax.ppermute(to_r, AXIS, _perm(D, +1))
+            from_r = jax.lax.ppermute(to_l, AXIS, _perm(D, -1))
+            # our left-edge ghosts came from left neighbour's right boundary
+            arr1d = arr1d.at[ghost_pos_l].set(
+                jnp.where(ghost_from_l["valid"], from_l, arr1d[ghost_pos_l])
+            )
+            arr1d = arr1d.at[ghost_pos_r].set(
+                jnp.where(ghost_from_r["valid"], from_r, arr1d[ghost_pos_r])
+            )
+            return arr1d
+
+        for _ in range(spec.iteration):
+            lam = pbf.lambda_phase(pstar, mass, ptype, alive, ranges, K, h)
+            lam = refresh(lam, bpos_l, bpos_r, ghost_pos_l, ghost_pos_r)
+            pstar = pbf.delta_phase(
+                pstar, lam, ptype, alive, ranges, K, h, scale, min_bound, max_bound
+            )
+            pstar = jnp.stack(
+                [refresh(pstar[a], bpos_l, bpos_r, ghost_pos_l, ghost_pos_r) for a in range(3)]
+            )
+
+        # 7. finalise; drop ghosts
+        new_pos, new_vel = pbf.finalise(position, vel, pstar, ptype, alive, dt, scale, dtype)
+        is_ghost = jnp.arange(CT) >= 0
+        ghost_mask = jnp.zeros((CT,), bool).at[CL:].set(True)[order]
+        alive = alive & ~ghost_mask
+
+        new_state = FluidState(
+            pid=pid, ptype=ptype, mass=mass,
+            position=new_pos, velocity=new_vel, colour=colour, alive=alive,
+        )
+        stats = dict(
+            alive_count=jnp.sum(alive).astype(jnp.int32)[None],
+            migrate_dropped=(drop_l + drop_r).astype(jnp.int32)[None],
+            ghost_dropped=(
+                jnp.maximum(jnp.sum(bl) - H, 0) + jnp.maximum(jnp.sum(br) - H, 0)
+            ).astype(jnp.int32)[None],
+        )
+        return new_state, stats
+
+    state_specs = FluidState(
+        pid=P(AXIS), ptype=P(AXIS), mass=P(AXIS),
+        position=P(None, AXIS), velocity=P(None, AXIS), colour=P(None, AXIS),
+        alive=P(AXIS),
+    )
+    dyn_specs = dict(
+        dt=P(), min_bound=P(), max_bound=P(), constant_force=P(),
+        mc_isolevel=P(), mc_particle_size=P(), mc_particle_influence=P(),
+    )
+    stats_specs = dict(
+        alive_count=P(AXIS), migrate_dropped=P(AXIS), ghost_dropped=P(AXIS)
+    )
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_specs, dyn_specs),
+        out_specs=(state_specs, stats_specs),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
+    """Place a host-built global state (capacity = n_dev * cap_total, already
+    arranged per-device) onto the mesh."""
+    from jax.sharding import NamedSharding
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return FluidState(
+        pid=put(state.pid, P(AXIS)),
+        ptype=put(state.ptype, P(AXIS)),
+        mass=put(state.mass, P(AXIS)),
+        position=put(state.position, P(None, AXIS)),
+        velocity=put(state.velocity, P(None, AXIS)),
+        colour=put(state.colour, P(None, AXIS)),
+        alive=put(state.alive, P(AXIS)),
+    )
+
+
+def distribute_particles(soa, spec: ShardSpec, dtype=np.float32) -> FluidState:
+    """Assign particles to slabs by x-position and build the concatenated
+    per-device state (host-side)."""
+    f = dtype
+    scale = np.float32(spec.scale)
+    h = np.float32(spec.h)
+    # owner by current position's global x-cell (pre-advect approximation;
+    # migration fixes any edge case on the first step)
+    states = []
+    min_ext_x = np.float32(0.0) / scale - h * 2  # min_bound.x assumed 0 at setup
+    gcx = np.trunc((soa.position[:, 0].astype(f) / scale - min_ext_x) / h).astype(np.int64)
+    owner = np.clip(gcx // spec.slab_w, 0, spec.n_dev - 1)
+    from pbf_sph_tpu.core.types import FluidState as FS, ParticleSoA
+
+    for d in range(spec.n_dev):
+        idx = np.nonzero(owner == d)[0]
+        if len(idx) > spec.cap_local:
+            raise ValueError(f"device {d}: {len(idx)} particles > cap {spec.cap_local}")
+        sub = ParticleSoA(
+            soa.pid[idx], soa.ptype[idx], soa.mass[idx],
+            soa.position[idx], soa.velocity[idx], soa.colour[idx],
+        )
+        states.append(FS.from_soa(sub, spec.cap_total, f))
+
+    return FluidState(
+        pid=np.concatenate([s.pid for s in states]),
+        ptype=np.concatenate([s.ptype for s in states]),
+        mass=np.concatenate([s.mass for s in states]),
+        position=np.concatenate([s.position for s in states], axis=1),
+        velocity=np.concatenate([s.velocity for s in states], axis=1),
+        colour=np.concatenate([s.colour for s in states], axis=1),
+        alive=np.concatenate([s.alive for s in states]),
+    )

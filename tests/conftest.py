@@ -2,12 +2,23 @@
 
 This is the standard JAX trick for exercising multi-chip sharding logic
 without TPU hardware (the driver separately dry-runs the multichip path).
-Must run before jax is imported anywhere.
+
+Note: this environment's sitecustomize imports jax at interpreter startup
+with JAX_PLATFORMS=axon (a tunneled TPU), and jax latches that env var at
+import time — so we must override via jax.config, before any backend
+initializes.  XLA_FLAGS is read at backend-init time, so setting it here
+still works.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8
