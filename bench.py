@@ -22,10 +22,15 @@ def main() -> int:
     count = int(os.environ.get("PBF_BENCH_COUNT", 1_000_000))
     frames = int(os.environ.get("PBF_BENCH_FRAMES", 30))
     warmup = int(os.environ.get("PBF_BENCH_WARMUP", 10))
-    impl = os.environ.get("PBF_BENCH_IMPL", "jax")
+    impl = os.environ.get("PBF_BENCH_IMPL", "pallas")
     iters = int(os.environ.get("PBF_BENCH_ITERS", 6))
 
     import jax
+
+    # persistent compile cache: the first 1M-particle compile is minutes over
+    # the remote-compile tunnel; later runs hit the cache
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pbf_sph_tpu.core.configs import dam_break
     from pbf_sph_tpu.core.types import Scene
@@ -38,21 +43,28 @@ def main() -> int:
     spec, state, scn = solver.prepare(cfg, Scene(), xs, cell_capacity=32)
     dyn = dyn_params_of(cfg, solver.dtype)
 
-    # compile + settle; track occupancy so the capacity is honest
-    occs = []
-    for _ in range(warmup):
-        state, out = solver.step_device(spec, state, dyn, scn)
-        occs.append(out["max_occupancy"])
-    jax.block_until_ready(state)
-    occ = int(max(int(o) for o in occs))
-    if occ > spec.cell_capacity:
-        # recompile with sufficient neighbour capacity and re-settle briefly
-        import dataclasses
+    # compile + settle; track occupancy/strip overflow so capacities are honest
+    import dataclasses
 
-        spec = dataclasses.replace(spec, cell_capacity=-(-occ // 16) * 16 + 16)
-        for _ in range(3):
+    for _round in range(4):
+        occs, ovfs = [], []
+        for _ in range(warmup):
             state, out = solver.step_device(spec, state, dyn, scn)
-        jax.block_until_ready(state)
+            occs.append(out["max_occupancy"])
+            ovfs.append(out["strip_overflow"])
+        occ = int(max(int(o) for o in occs))
+        ovf = int(max(int(o) for o in ovfs))
+        changes = {}
+        if occ > spec.cell_capacity:
+            changes["cell_capacity"] = -(-occ // 16) * 16 + 16
+        if ovf > 0:
+            from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
+
+            changes["strip_capacity"] = grown_strip_capacity(spec, ovf)
+        if not changes:
+            break
+        print(f"# growing: {changes}", file=sys.stderr)
+        spec = dataclasses.replace(spec, **changes)
 
     t0 = time.perf_counter()
     outs = []

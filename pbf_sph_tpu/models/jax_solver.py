@@ -80,6 +80,9 @@ class StepSpec:
     dtype: str
     scene: SceneSpec
     surface: Optional[mc_ops.McSpec] = None
+    # Pallas strip-buffer capacity (columns); 0 = auto.  Grown on
+    # strip_overflow like cell_capacity is grown on occupancy.
+    strip_capacity: int = 0
 
 
 def scene_spec_of(scene: Scene, config: SphParams, query_capacity: int = 128) -> SceneSpec:
@@ -253,10 +256,10 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         if spec.capacity % pallas_pbf.BLK != 0:
             raise ValueError(f"capacity must be a multiple of {pallas_pbf.BLK}")
         nz = spec.grid.dims[2]
-        smax = strip_capacity or min(
-            spec.capacity, 1 << max(11, int(np.ceil(np.log2(max(1, nz * 24 * 2)))))
+        smax = strip_capacity or spec.strip_capacity or max(
+            8192, -(-(nz * 48 * 2) // 128) * 128
         )
-        smax = min(smax, spec.capacity)
+        smax = min(-(-smax // 128) * 128, spec.capacity)
         phases = pallas_pbf.PallasPhases(
             spec.capacity, spec.grid, spec.h, smax,
             interpret=jax.default_backend() == "cpu",
@@ -339,18 +342,17 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
                     scale, min_bound, max_bound,
                 )
         else:
-            sstart4, wins, strip_overflow = phases.plan_frame(key, cell_table)
+            wins, strip_overflow = phases.plan_frame(key, cell_table)
             memberf = member.astype(dtype)
             colour = phases.diffuse(
-                sstart4, wins, state.colour, cells, memberf, state.ptype, state.alive, dt
+                wins, state.colour, cells, memberf, state.ptype, state.alive, dt
             )
             for _ in range(spec.iteration):
                 lam = phases.lambda_phase(
-                    sstart4, wins, pstar, state.mass, memberf, state.ptype,
-                    state.alive, cells,
+                    wins, pstar, state.mass, memberf, state.ptype, state.alive, cells
                 )
                 pstar = phases.delta_phase(
-                    sstart4, wins, pstar, lam, memberf, state.ptype, state.alive,
+                    wins, pstar, lam, memberf, state.ptype, state.alive,
                     scale, min_bound, max_bound, cells,
                 )
 
@@ -505,9 +507,11 @@ class JaxSolver(Solver):
             new_state, out = self.get_step(spec)(state, dyn, scn)
             occ = int(out["max_occupancy"])
             tri_count = int(out["tri_count"]) if spec.surface is not None else 0
+            strip_ovf = int(out["strip_overflow"])
             need_k = occ > spec.cell_capacity
             need_t = spec.surface is not None and tri_count > spec.surface.tri_capacity
-            if not (need_k or need_t):
+            need_s = strip_ovf > 0
+            if not (need_k or need_t or need_s):
                 break
             # grow and re-run the frame under a larger spec (rare recompile)
             new_k = spec.cell_capacity
@@ -516,7 +520,14 @@ class JaxSolver(Solver):
             surface = spec.surface
             if need_t:
                 surface = dataclasses.replace(surface, tri_capacity=-(-tri_count // 1024) * 1024)
-            spec = dataclasses.replace(spec, cell_capacity=new_k, surface=surface)
+            new_s = spec.strip_capacity
+            if need_s:
+                from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
+
+                new_s = grown_strip_capacity(spec, strip_ovf)
+            spec = dataclasses.replace(
+                spec, cell_capacity=new_k, surface=surface, strip_capacity=new_s
+            )
         else:
             raise RuntimeError("capacity growth did not converge")
 

@@ -61,6 +61,14 @@ class PallasPlanSpec:
     smax: int  # per-dx-strip VMEM capacity (columns)
 
 
+def grown_strip_capacity(step_spec, overflow: int) -> int:
+    """Next strip capacity after an overflow of `overflow` columns."""
+    nz = step_spec.grid.dims[2]
+    base = step_spec.strip_capacity or max(8192, -(-(nz * 48 * 2) // 128) * 128)
+    need = base + overflow
+    return min(-(-need // 2048) * 2048 + 2048, step_spec.capacity)
+
+
 def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: int):
     """Per-block strip starts + per-sub-block window bounds (XLA precompute,
     once per frame, shared by all phases).
@@ -114,7 +122,13 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
     rel_lo = jnp.clip(rel_lo, 0, smax)
     rel_hi = jnp.clip(rel_hi, 0, smax)
     wins = jnp.stack([rel_lo, rel_hi], axis=-1).astype(jnp.int32)
-    return sstart, wins, overflow
+    # fold the per-block strip starts into an extra wins row (row NSUB) so a
+    # single SMEM-blocked input carries all per-block scalars (Mosaic requires
+    # SMEM block trailing dims to equal the array dims)
+    srow = jnp.take(sstart, strip_of, axis=1)  # (nblocks, 9)
+    srow = jnp.stack([srow, jnp.zeros_like(srow)], axis=-1)[:, None, :, :]
+    wins_ex = jnp.concatenate([wins, srow], axis=1)  # (nblocks, NSUB+1, 9, 2)
+    return wins_ex, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -122,9 +136,9 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
 # ---------------------------------------------------------------------------
 
 
-def _issue_strip_dmas(p_hbm, sbuf, sems, slot, sstart_row, smax):
+def _issue_strip_dmas(p_hbm, sbuf, sems, slot, wins_ref, smax):
     for s in range(3):
-        start = pl.multiple_of(sstart_row[0, s], WCOL)
+        start = pl.multiple_of(wins_ref[0, NSUB, 3 * s, 0], WCOL)
         pltpu.make_async_copy(
             p_hbm.at[:, pl.ds(start, smax)],
             sbuf.at[slot, s],
@@ -150,17 +164,17 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
     smax = plan.smax
     nblocks = plan.nblocks
 
-    def kernel(sstart_cur, sstart_nxt, wins, p_any, rows, out, sbuf, sems):
+    def kernel(wins, wins_nxt, p_any, rows, out, sbuf, sems):
         b = pl.program_id(0)
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b == 0)
         def _():
-            _issue_strip_dmas(p_any, sbuf, sems, 0, sstart_cur, smax)
+            _issue_strip_dmas(p_any, sbuf, sems, 0, wins, smax)
 
         @pl.when(b + 1 < nblocks)
         def _():
-            _issue_strip_dmas(p_any, sbuf, sems, 1 - slot, sstart_nxt, smax)
+            _issue_strip_dmas(p_any, sbuf, sems, 1 - slot, wins_nxt, smax)
 
         _wait_strip_dmas(p_any, sbuf, sems, slot, smax)
 
@@ -171,12 +185,11 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 4), lambda b: (jnp.minimum(b + 1, nblocks - 1), 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, NSUB, 9, 2), lambda b: (b, 0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NSUB + 1, 9, 2), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NSUB + 1, 9, 2),
+                         lambda b: (jnp.minimum(b + 1, nblocks - 1), 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((nfields, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
@@ -187,13 +200,13 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
         ],
     )
 
-    def call(sstart4, wins, packed):
+    def call(wins, packed):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nout, capacity), jnp.float32),
             interpret=interpret,
-        )(sstart4, sstart4, wins, packed, packed)
+        )(wins, wins, packed, packed)
 
     return call
 
@@ -446,12 +459,6 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
 # ---------------------------------------------------------------------------
 
 
-def _pad4(sstart):
-    """SMEM blocks want a lane-friendly minor dim; pad (nblocks,3) -> (nblocks,4)."""
-    nb = sstart.shape[0]
-    return jnp.concatenate([sstart, jnp.zeros((nb, 1), jnp.int32)], axis=1)
-
-
 class PallasPhases:
     """Per-spec factory for the three Pallas phase callables."""
 
@@ -468,26 +475,26 @@ class PallasPhases:
         self._diffuse = make_diffuse_call(self.plan, capacity, grid, interpret)
 
     def plan_frame(self, sorted_key, cell_table):
-        sstart, wins, overflow = plan_windows(
+        wins, overflow = plan_windows(
             sorted_key, cell_table, self.grid, self.capacity, self.smax
         )
-        return _pad4(sstart), wins, overflow
+        return wins, overflow
 
-    def lambda_phase(self, sstart4, wins, pstar, mass, memberf, ptype, alive, cells):
+    def lambda_phase(self, wins, pstar, mass, memberf, ptype, alive, cells):
         f = pstar.dtype
         packed = jnp.stack([pstar[0], pstar[1], pstar[2], mass, memberf,
                             cells[0].astype(f), cells[1].astype(f), cells[2].astype(f)])
-        lam = self._lambda(sstart4, wins, packed)[0]
+        lam = self._lambda(wins, packed)[0]
         from pbf_sph_tpu.core.types import FLUID
 
         return jnp.where((ptype == FLUID) & alive, lam, 0.0)
 
-    def delta_phase(self, sstart4, wins, pstar, lam, memberf, ptype, alive,
+    def delta_phase(self, wins, pstar, lam, memberf, ptype, alive,
                     scale, min_bound, max_bound, cells):
         f = pstar.dtype
         packed = jnp.stack([pstar[0], pstar[1], pstar[2], lam, memberf,
                             cells[0].astype(f), cells[1].astype(f), cells[2].astype(f)])
-        dp = self._delta(sstart4, wins, packed)
+        dp = self._delta(wins, packed)
         from pbf_sph_tpu.core.types import FLUID
 
         fluid = (ptype == FLUID) & alive
@@ -499,7 +506,7 @@ class PallasPhases:
             rows.append(jnp.where(fluid, moved, pstar[a]))
         return jnp.stack(rows)
 
-    def diffuse(self, sstart4, wins, colour, cells, memberf, ptype, alive, dt):
+    def diffuse(self, wins, colour, cells, memberf, ptype, alive, dt):
         from pbf_sph_tpu.core.types import FLUID, OBSTACLE
 
         dtype = colour.dtype
@@ -511,7 +518,7 @@ class PallasPhases:
             [colour[0], colour[1], colour[2], colour[3], nonobs,
              fx, cells[1].astype(dtype), cells[2].astype(dtype)]
         )
-        outs = self._diffuse(sstart4, wins, packed)
+        outs = self._diffuse(wins, packed)
         mixture = outs[:4]
         cnt = outs[4]
         cnt_safe = jnp.maximum(cnt, 1.0)

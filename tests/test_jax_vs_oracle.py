@@ -105,7 +105,9 @@ def test_scene_parity():
     # `src/omp/ompsph.hpp:102`), so order among equal ids is ambiguous;
     # canonicalize by (id, position)
     def canon(xs):
-        o = np.lexsort((xs.position[:, 2], xs.position[:, 1], xs.position[:, 0], xs.pid))
+        # round sort keys so sub-tolerance fp noise cannot flip the ordering
+        r = np.round(xs.position, 1)
+        o = np.lexsort((r[:, 2], r[:, 1], r[:, 0], xs.pid))
         from pbf_sph_tpu.core.types import ParticleSoA
 
         return ParticleSoA(xs.pid[o], xs.ptype[o], xs.mass[o],
