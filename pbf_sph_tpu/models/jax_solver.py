@@ -290,6 +290,8 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         # network — arbitrary-index gathers are ~7ns/element on TPU)
         cells = cell_coords(pstar, min_extent, h)
         key = sort_key(cells, state.alive, spec.grid)
+        # 16 operands: XLA's variadic sort falls off a performance cliff
+        # beyond that; pStar is recomputed from sorted pos/vel (exact)
         sorted_ops = jax.lax.sort(
             (
                 key,
@@ -298,22 +300,30 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
                 vel[0], vel[1], vel[2],
                 state.colour[0], state.colour[1], state.colour[2], state.colour[3],
                 state.alive,
-                pstar[0], pstar[1], pstar[2],
             ),
             num_keys=1,
             is_stable=True,
         )
         key = sorted_ops[0]
+        vel = jnp.stack(sorted_ops[7:10])
         state = FluidState(
             pid=sorted_ops[1], ptype=sorted_ops[2], mass=sorted_ops[3],
             position=jnp.stack(sorted_ops[4:7]),
-            velocity=state.velocity,  # replaced below; placeholder
+            velocity=vel,
             colour=jnp.stack(sorted_ops[10:14]),
             alive=sorted_ops[14],
         )
-        vel = jnp.stack(sorted_ops[7:10])
-        pstar = jnp.stack(sorted_ops[15:18])
-        state = dataclasses.replace(state, velocity=vel)
+        fluid_s = (state.ptype == FLUID) & state.alive
+        pstar = jnp.stack(
+            [
+                jnp.where(
+                    fluid_s,
+                    vel[a] * dt + state.position[a] / scale,
+                    state.position[a] / scale,
+                )
+                for a in range(3)
+            ]
+        )
         cells, member = decode_key(key, spec.grid)
 
         # 6. dense cell table (scatter + cumsum; O(n + ncells) dense ops)

@@ -216,7 +216,7 @@ def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry):
     lo = wins[0, t, s, 0]
     hi = wins[0, t, s, 1]
     c0 = lo // WCOL
-    nchunk = pl.cdiv(hi - c0 * WCOL, WCOL)
+    nchunk = jnp.where(hi > lo, pl.cdiv(hi - c0 * WCOL, WCOL), 0)
     strip = s // 3
 
     def chunk_body(wi, carry):
@@ -236,40 +236,45 @@ def _col_mask(o, lo, hi):
 # ---------------------------------------------------------------------------
 
 
-def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=False):
+def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpec,
+                     interpret=False):
     """rho_i = m_i sum poly6; lambda_i = -(rho/RHO-1)/(|gradC/RHO|^2 + CFM)
     (reference `src/ocl/oclsph_kernel.h:95-123`).
 
-    Packed fields (8, C): [psx, psy, psz, mass, memberf, fx, fy, fz]
-    (fx/fy/fz are the integer cell coords as f32 — a sub-block's (dx,dy)
-    windows can overlap when it spans several y-rows, so pairs carry exact
-    cell-adjacency masks to avoid double counting)."""
+    Packed fields (8, C): [psx, psy, psz, cl, mass, memberf, pad, pad] where
+    cl is the linear cell id as f32 (exact below 2^24 cells).
+
+    Pair dedup: a sub-block's (dx,dy) windows can overlap when it spans
+    several y-rows, so pairs are masked by |cl_b - (cl_a + off_s)| <= 1.  The
+    per-strip offsets differ by >= nz >= 3, so at most one strip accepts a
+    given candidate cell (no double counting); z/y-wrapped aliases the linear
+    test admits are > h away and self-masked by the kernel functions.
+
+    Accumulation stays in (SUB, WCOL) tiles across all strips/chunks and is
+    reduced once per sub-block (cross-lane reductions are ~7 shuffle ops)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
     hf = np.float32(h)
     eps = np.float32(K.EPSILON)
+    nx, ny, nz = grid.dims
+    offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
 
     def body(wins, rows, sbuf, slot, out, t):
         ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        acl = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        def make_chunk(dx_s, dy_s):
+        def make_chunk(off_s):
             def chunk(slot_, strip, o, lo, hi, carry):
                 p6s, gx, gy, gz = carry
                 bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
                 by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bcl = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
                 m = _col_mask(o, lo, hi)
-                m = m & (bfx == afx + dx_s) & (bfy == afy + dy_s)
-                m = m & (jnp.abs(bfz - afz) <= 1.0)
+                m = m & (jnp.abs(bcl - (acl + off_s)) <= 1.0)
                 dx = ax - bx
                 dy = ay - by
                 dz = az - bz
@@ -279,23 +284,20 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fa
                 ok = m & (r >= eps) & (r <= hf)
                 rs = jnp.where(ok, r, 1.0)
                 sg = jnp.where(ok, (hf - rs) ** 2 / rs, 0.0)
-                return (
-                    p6s + jnp.sum(p6, axis=1, keepdims=True),
-                    gx + jnp.sum(dx * sg, axis=1, keepdims=True),
-                    gy + jnp.sum(dy * sg, axis=1, keepdims=True),
-                    gz + jnp.sum(dz * sg, axis=1, keepdims=True),
-                )
+                return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
 
             return chunk
 
-        zero = jnp.zeros((SUB, 1), jnp.float32)
+        zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero, zero)
         for s in range(9):
-            dx_s, dy_s = np.float32(STRIP_DXDY[s][0]), np.float32(STRIP_DXDY[s][1])
-            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(dx_s, dy_s), carry)
-        p6s, gx, gy, gz = carry
-        mass = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]), carry)
+        p6s = jnp.sum(carry[0], axis=1, keepdims=True)
+        gx = jnp.sum(carry[1], axis=1, keepdims=True)
+        gy = jnp.sum(carry[2], axis=1, keepdims=True)
+        gz = jnp.sum(carry[3], axis=1, keepdims=True)
+        mass = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        memberf = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         rho = mass * (p6s * p6f) * memberf
         rr = np.float32(K.RHO_RECIP)
         c = skf * rr * memberf
@@ -313,13 +315,14 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fa
 # ---------------------------------------------------------------------------
 
 
-def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=False):
+def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpec,
+                    interpret=False):
     """dp_i = sum spiky_grad * (lam_i + lam_j + s_corr)/RHO
     (reference `src/ocl/oclsph_kernel.h:125-151`; the bounds clamp is applied
     by the XLA caller).
 
-    Packed fields (8, C): [psx, psy, psz, lam, memberf, fx, fy, fz]
-    (cell-adjacency masked like the lambda kernel)."""
+    Packed fields (8, C): [psx, psy, psz, lam, cl, memberf, pad, pad]
+    (linear-cell-id adjacency + tile accumulation like the lambda kernel)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -329,29 +332,26 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fal
     p6dq = np.float32(poly6_factor(h)) * (hh - cdq * cdq) ** 3
     corr_k = np.float32(-K.CORR_K)
     rr = np.float32(K.RHO_RECIP)
+    nx, ny, nz = grid.dims
+    offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
 
     def body(wins, rows, sbuf, slot, out, t):
         ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         alam = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        acl = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        def make_chunk(dx_s, dy_s):
+        def make_chunk(off_s):
             def chunk(slot_, strip, o, lo, hi, carry):
                 dxs, dys, dzs = carry
                 bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
                 by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
                 blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bcl = sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL)
                 m = _col_mask(o, lo, hi)
-                m = m & (bfx == afx + dx_s) & (bfy == afy + dy_s)
-                m = m & (jnp.abs(bfz - afz) <= 1.0)
+                m = m & (jnp.abs(bcl - (acl + off_s)) <= 1.0)
                 dx = ax - bx
                 dy = ay - by
                 dz = az - bz
@@ -365,24 +365,21 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, interpret=Fal
                 ok = m & (r >= eps) & (r <= hf)
                 rs = jnp.where(ok, r, 1.0)
                 sg = jnp.where(ok, skf * (hf - rs) ** 2 / rs, 0.0) * factor
-                return (
-                    dxs + jnp.sum(dx * sg, axis=1, keepdims=True),
-                    dys + jnp.sum(dy * sg, axis=1, keepdims=True),
-                    dzs + jnp.sum(dz * sg, axis=1, keepdims=True),
-                )
+                return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
 
             return chunk
 
-        zero = jnp.zeros((SUB, 1), jnp.float32)
+        zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero)
         for s in range(9):
-            dx_s, dy_s = np.float32(STRIP_DXDY[s][0]), np.float32(STRIP_DXDY[s][1])
-            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(dx_s, dy_s), carry)
-        dxs, dys, dzs = carry
-        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        out[0, pl.ds(t * SUB, SUB)] = (dxs * memberf).reshape(SUB)
-        out[1, pl.ds(t * SUB, SUB)] = (dys * memberf).reshape(SUB)
-        out[2, pl.ds(t * SUB, SUB)] = (dzs * memberf).reshape(SUB)
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]), carry)
+        memberf = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        dxs = jnp.sum(carry[0], axis=1, keepdims=True) * memberf
+        dys = jnp.sum(carry[1], axis=1, keepdims=True) * memberf
+        dzs = jnp.sum(carry[2], axis=1, keepdims=True) * memberf
+        out[0, pl.ds(t * SUB, SUB)] = dxs.reshape(SUB)
+        out[1, pl.ds(t * SUB, SUB)] = dys.reshape(SUB)
+        out[2, pl.ds(t * SUB, SUB)] = dzs.reshape(SUB)
 
     return _phase_pallas(body, nfields=8, nout=3, plan=plan, capacity=capacity,
                          interpret=interpret)
@@ -470,9 +467,15 @@ class PallasPhases:
         self.grid = grid
         self.h = h
         self.smax = smax
-        self._lambda = make_lambda_call(self.plan, capacity, h, interpret)
-        self._delta = make_delta_call(self.plan, capacity, h, interpret)
+        if grid.ncells >= (1 << 24):
+            raise ValueError("pallas path requires < 2^24 grid cells (f32-exact ids)")
+        self._lambda = make_lambda_call(self.plan, capacity, h, grid, interpret)
+        self._delta = make_delta_call(self.plan, capacity, h, grid, interpret)
         self._diffuse = make_diffuse_call(self.plan, capacity, grid, interpret)
+
+    def _linear_id(self, cells):
+        nx, ny, nz = self.grid.dims
+        return (cells[0] * ny + cells[1]) * nz + cells[2]
 
     def plan_frame(self, sorted_key, cell_table):
         wins, overflow = plan_windows(
@@ -482,8 +485,9 @@ class PallasPhases:
 
     def lambda_phase(self, wins, pstar, mass, memberf, ptype, alive, cells):
         f = pstar.dtype
-        packed = jnp.stack([pstar[0], pstar[1], pstar[2], mass, memberf,
-                            cells[0].astype(f), cells[1].astype(f), cells[2].astype(f)])
+        cl = self._linear_id(cells).astype(f)
+        z = jnp.zeros_like(mass)
+        packed = jnp.stack([pstar[0], pstar[1], pstar[2], cl, mass, memberf, z, z])
         lam = self._lambda(wins, packed)[0]
         from pbf_sph_tpu.core.types import FLUID
 
@@ -492,8 +496,9 @@ class PallasPhases:
     def delta_phase(self, wins, pstar, lam, memberf, ptype, alive,
                     scale, min_bound, max_bound, cells):
         f = pstar.dtype
-        packed = jnp.stack([pstar[0], pstar[1], pstar[2], lam, memberf,
-                            cells[0].astype(f), cells[1].astype(f), cells[2].astype(f)])
+        cl = self._linear_id(cells).astype(f)
+        z = jnp.zeros_like(lam)
+        packed = jnp.stack([pstar[0], pstar[1], pstar[2], lam, cl, memberf, z, z])
         dp = self._delta(wins, packed)
         from pbf_sph_tpu.core.types import FLUID
 
