@@ -123,7 +123,11 @@ def main(argv=None) -> int:
     xs = particles
     result = None
     for frame in range(args.warmup):
-        result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+        try:
+            result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+        except Exception as e:  # reference surfaces the frame index (benchmark.cpp:34-36)
+            print(f"Caught exception at warmup frame {frame}:\n{e}")
+            raise
 
     frame_times = []
     start = time.perf_counter()
@@ -133,7 +137,11 @@ def main(argv=None) -> int:
         watch = Stopwatch("advance")
         f_start = time.perf_counter()
         stop = watch.start("advance")
-        result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+        try:
+            result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+        except Exception as e:
+            print(f"Caught exception at benchmark frame {frame}:\n{e}")
+            raise
         stop()
         frame_times.append((time.perf_counter() - f_start) * 1000.0)
         if args.phase_timings:
