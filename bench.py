@@ -40,7 +40,7 @@ def main() -> int:
     mc, cfg, xs = dam_break(count, solver_iter=iters)
     solver = make_solver(impl, h=cfg.h)
 
-    spec, state, scn = solver.prepare(cfg, Scene(), xs, cell_capacity=32)
+    spec, state, scn = solver.prepare(cfg, Scene(), xs)
     dyn = dyn_params_of(cfg, solver.dtype)
 
     # compile + settle; track occupancy/strip overflow so capacities are honest

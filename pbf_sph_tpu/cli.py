@@ -138,7 +138,13 @@ def main(argv=None) -> int:
         f_start = time.perf_counter()
         stop = watch.start("advance")
         try:
-            result, xs = solver.advance(apply_motion_sin_x_cos_z(config, frame), Scene(), xs)
+            cfg_f = apply_motion_sin_x_cos_z(config, frame)
+            if args.phase_timings and args.impl in ("jax", "pallas") and config.wait:
+                from pbf_sph_tpu.models.timed import advance_timed
+
+                result, xs, watch = advance_timed(solver, cfg_f, Scene(), xs)
+            else:
+                result, xs = solver.advance(cfg_f, Scene(), xs)
         except Exception as e:
             print(f"Caught exception at benchmark frame {frame}:\n{e}")
             raise

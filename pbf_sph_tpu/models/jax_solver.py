@@ -260,9 +260,18 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             8192, -(-(nz * 48 * 2) // 128) * 128
         )
         smax = min(-(-smax // 128) * 128, spec.capacity)
+        interp = jax.default_backend() == "cpu"
         phases = pallas_pbf.PallasPhases(
-            spec.capacity, spec.grid, spec.h, smax,
-            interpret=jax.default_backend() == "cpu",
+            spec.capacity, spec.grid, spec.h, smax, interpret=interp
+        )
+
+    mc_field_pallas = None
+    if use_pallas and spec.surface is not None:
+        from pbf_sph_tpu.ops.pallas_mc import PallasMcField
+
+        mc_field_pallas = PallasMcField(
+            spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
+            spec.surface.influence_static, phases.smax, interpret=interp,
         )
 
     def step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
@@ -382,12 +391,22 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
 
         # 11. marching cubes
         if spec.surface is not None:
-            lat_v, lat_n, lat_c = mc_ops.mc_field(
-                position, colour, state.ptype, state.alive, cell_table, spec.grid,
-                min_extent, spec.grid.extent, spec.surface, K, h, scale,
-                dyn["mc_particle_size"].astype(dtype),
-                dyn["mc_particle_influence"].astype(dtype),
-            )
+            if mc_field_pallas is not None:
+                lat_v, lat_n, lat_c, mc_overflow = mc_field_pallas(
+                    cell_table, cells, position, colour, state.ptype, state.alive,
+                    member, min_extent, dyn["mc_particle_size"].astype(dtype),
+                    scale, dtype,
+                )
+                outputs["strip_overflow"] = jnp.maximum(
+                    outputs["strip_overflow"], mc_overflow
+                )
+            else:
+                lat_v, lat_n, lat_c = mc_ops.mc_field(
+                    position, colour, state.ptype, state.alive, cell_table, spec.grid,
+                    min_extent, spec.grid.extent, spec.surface, K, h, scale,
+                    dyn["mc_particle_size"].astype(dtype),
+                    dyn["mc_particle_influence"].astype(dtype),
+                )
             vs, ns, cs, total = mc_ops.mc_extract(
                 lat_v, lat_n, lat_c, min_extent, spec.grid.extent, spec.surface,
                 h, scale, dyn["mc_isolevel"].astype(dtype),
@@ -487,6 +506,7 @@ class JaxSolver(Solver):
                 grid.extent,
                 config.surface.resolution,
                 tri_capacity if tri_capacity else self.tri_capacity,
+                influence_static=config.surface.particle_influence,
             )
         return StepSpec(
             capacity=int(capacity),

@@ -1,0 +1,205 @@
+"""Per-phase timed advance — the reference's Stopwatch table.
+
+The reference brackets every phase with a Stopwatch entry and inserts a
+queue.finish() per phase when `config.wait` is set (reference
+`src/omp/ompsph.hpp:89-482`, `src/ocl/oclsph.cpp:249-298`).  The fused jitted
+step can't be timed per phase, so this module builds the same pipeline as
+separately-jitted stages with a device sync between entries.  Numerics are
+identical (same ops functions); only the jit boundaries differ.
+
+Keep the stage sequence in sync with `jax_solver.build_step`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbf_sph_tpu.core.types import FLUID, FluidState, ParticleSoA, Result, Scene, SphParams
+from pbf_sph_tpu.models.jax_solver import (
+    JaxSolver,
+    StepSpec,
+    _apply_drains,
+    _apply_sources,
+    _queries,
+    dyn_params_of,
+    scene_arrays_of,
+)
+from pbf_sph_tpu.ops import mc as mc_ops
+from pbf_sph_tpu.ops import pbf
+from pbf_sph_tpu.ops.grid import (
+    build_cell_table,
+    cell_coords,
+    decode_key,
+    sort_key,
+    stencil_ranges,
+)
+from pbf_sph_tpu.utils.stopwatch import Stopwatch
+
+
+def advance_timed(
+    solver: JaxSolver, config: SphParams, scene: Scene, xs: ParticleSoA
+) -> Tuple[Result, ParticleSoA, Stopwatch]:
+    """One frame with a per-phase Stopwatch (reference table entry names)."""
+    watch = Stopwatch("advance")
+    spec = solver.make_spec(
+        config, scene, capacity=max(solver._cap_align, -(-(len(xs) + 64) // solver._cap_align) * solver._cap_align)
+    )
+    dtype = jnp.dtype(spec.dtype)
+    scn = jax.device_put(scene_arrays_of(scene, spec.scene, solver.dtype))
+    dyn = jax.device_put(dyn_params_of(config, solver.dtype))
+    state = jax.device_put(FluidState.from_soa(xs, spec.capacity, solver.dtype))
+    h = spec.h
+    scale = jnp.asarray(spec.scale, dtype)
+    K = spec.cell_capacity
+
+    def sync(x):
+        return jax.block_until_ready(x)
+
+    stop = watch.start("CPU source+drain")
+    state, _ = jax.jit(lambda s: _apply_sources(s, scn, spec, dtype))(state)
+    state = jax.jit(lambda s: _apply_drains(s, scn, spec))(state)
+    sync(state)
+    stop()
+
+    stop = watch.start("CPU advect+copy")
+
+    @jax.jit
+    def advect_stage(state, dyn):
+        min_extent = dyn["min_bound"].astype(dtype) / scale - jnp.asarray(h, dtype) * 2
+        vel, pstar = pbf.advect(
+            state.position, state.velocity, state.mass, state.ptype, state.alive,
+            scn["wells_centre"], scn["wells_force"], dyn["constant_force"].astype(dtype),
+            dyn["dt"].astype(dtype), scale,
+        )
+        cells = cell_coords(pstar, min_extent, h)
+        key = sort_key(cells, state.alive, spec.grid)
+        return vel, pstar, key, min_extent
+
+    vel, pstar, key, min_extent = sync(advect_stage(state, dyn))
+    stop()
+
+    stop = watch.start("CPU sortz")
+
+    @jax.jit
+    def sort_stage(state, vel, pstar, key):
+        ops = jax.lax.sort(
+            (key, state.pid, state.ptype, state.mass,
+             state.position[0], state.position[1], state.position[2],
+             vel[0], vel[1], vel[2],
+             state.colour[0], state.colour[1], state.colour[2], state.colour[3],
+             state.alive, pstar[0], pstar[1], pstar[2]),
+            num_keys=1, is_stable=True,
+        )
+        st = FluidState(
+            pid=ops[1], ptype=ops[2], mass=ops[3],
+            position=jnp.stack(ops[4:7]), velocity=jnp.stack(ops[7:10]),
+            colour=jnp.stack(ops[10:14]), alive=ops[14],
+        )
+        return ops[0], st, jnp.stack(ops[15:18])
+
+    key, state, pstar = sync(sort_stage(state, vel, pstar, key))
+    vel = state.velocity
+    stop()
+
+    stop = watch.start("CPU gridtable")
+    cell_table = sync(jax.jit(lambda k: build_cell_table(k, spec.grid))(key))
+    stop()
+
+    stop = watch.start(f"CPU query({spec.scene.n_queries})")
+    q_ids, q_counts = sync(
+        jax.jit(
+            lambda st, tbl: _queries(
+                scn, spec, st.pid, st.ptype, st.alive, tbl, min_extent, dtype
+            )
+        )(state, cell_table)
+    )
+    stop()
+
+    cells, member = jax.jit(lambda k: decode_key(k, spec.grid))(key)
+
+    @jax.jit
+    def diffuse_stage(state, cells, member, cell_table, dyn):
+        ranges = stencil_ranges(cells, member, cell_table, spec.grid)
+        return pbf.diffuse(
+            state.colour, state.ptype, state.alive, ranges, K, dyn["dt"].astype(dtype)
+        )
+
+    stop = watch.start("\t[TPU] sph-diffuse ")
+    colour = sync(diffuse_stage(state, cells, member, cell_table, dyn))
+    stop()
+
+    @jax.jit
+    def iter_stage(pstar, state, cells, member, cell_table, dyn):
+        ranges = stencil_ranges(cells, member, cell_table, spec.grid)
+        lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
+        return pbf.delta_phase(
+            pstar, lam, state.ptype, state.alive, ranges, K, h, scale,
+            dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+        )
+
+    stop = watch.start(f"\t[TPU] sph-lambda/delta*{spec.iteration}")
+    for _ in range(spec.iteration):
+        pstar = iter_stage(pstar, state, cells, member, cell_table, dyn)
+    sync(pstar)
+    stop()
+
+    stop = watch.start("\t[TPU] sph-finalise")
+    position, velocity = sync(
+        jax.jit(
+            lambda p, v, ps, dyn: pbf.finalise(
+                p, v, ps, state.ptype, state.alive, dyn["dt"].astype(dtype), scale, dtype
+            )
+        )(state.position, vel, pstar, dyn)
+    )
+    stop()
+
+    mesh_out = None
+    if spec.surface is not None:
+        stop = watch.start("\t[TPU] mc-field")
+
+        @jax.jit
+        def field_stage(position, colour, state, cell_table, dyn):
+            return mc_ops.mc_field(
+                position, colour, state.ptype, state.alive, cell_table, spec.grid,
+                min_extent, spec.grid.extent, spec.surface, K, h, scale,
+                dyn["mc_particle_size"].astype(dtype),
+                dyn["mc_particle_influence"].astype(dtype),
+            )
+
+        lat = sync(field_stage(position, colour, state, cell_table, dyn))
+        stop()
+
+        stop = watch.start("\t[TPU] mc_psum+gpu_mc")
+        mesh_out = sync(
+            jax.jit(
+                lambda lat, dyn: mc_ops.mc_extract(
+                    lat[0], lat[1], lat[2], min_extent, spec.grid.extent,
+                    spec.surface, h, scale, dyn["mc_isolevel"].astype(dtype),
+                )
+            )(lat, dyn)
+        )
+        stop()
+
+    stop = watch.start("\t[TPU] write back")
+    new_state = FluidState(
+        pid=state.pid, ptype=state.ptype, mass=state.mass,
+        position=position, velocity=velocity, colour=colour, alive=state.alive,
+    )
+    out = {
+        "query_ids": q_ids,
+        "query_counts": q_counts,
+        "alive_count": jnp.sum(new_state.alive).astype(jnp.int32),
+    }
+    if mesh_out is not None:
+        out.update(
+            mesh_vs=mesh_out[0], mesh_ns=mesh_out[1], mesh_cs=mesh_out[2],
+            tri_count=mesh_out[3],
+        )
+    result = solver._extract_result(out, scn, spec)
+    soa = new_state.to_soa()
+    stop()
+    return result, soa, watch

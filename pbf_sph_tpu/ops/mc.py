@@ -35,9 +35,14 @@ class McSpec:
     resolution: float
     sample: Tuple[int, int, int]
     tri_capacity: int
+    # particleInfluence is jit-dynamic on the XLA path; the Pallas field
+    # kernel bakes it (len^infl needs a transcendental for arbitrary
+    # exponents; 0.5 compiles to sqrt) — changing it recompiles.
+    influence_static: float = 0.5
 
     @staticmethod
-    def from_extent(extent, resolution: float, tri_capacity: int = 0) -> "McSpec":
+    def from_extent(extent, resolution: float, tri_capacity: int = 0,
+                    influence_static: float = 0.5) -> "McSpec":
         f = np.float32
         sample = (np.floor(np.asarray(extent, f) * f(resolution)) + 1).astype(np.int64)
         march = sample - 1
@@ -48,6 +53,7 @@ class McSpec:
             resolution=float(resolution),
             sample=tuple(int(v) for v in sample),
             tri_capacity=int(tri_capacity),
+            influence_static=float(influence_static),
         )
 
 

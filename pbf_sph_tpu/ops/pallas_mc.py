@@ -1,0 +1,286 @@
+"""Pallas TPU kernel for the marching-cubes lattice field.
+
+The MC field (reference mc_lattice, `src/ocl/oclsph_kernel.h:176-263`) is the
+same gather shape as the PBF phases — per lattice node, accumulate over
+particles in the 27 cells around the node's cell — so it reuses the strip/
+window machinery from `pallas_pbf`: rows are lattice *nodes* (a regular grid,
+so per-sub-block window cell bounds are static), candidates are the sorted
+particles.
+
+The kernel outputs raw sums; the XLA caller applies the particleSize /
+particleInfluence factors, the normal normalization and the colour mean
+(reference NaN conventions preserved).
+
+`particle_influence` is compile-time static here (the len^infl power needs a
+transcendental for arbitrary exponents; the default 0.5 becomes a sqrt) —
+changing it from the GUI recompiles, like the reference's `-DSPH_H` bake
+(`src/ocl/oclsph.cpp:20`).
+
+Boundary note: the reference's *clamped* stencil double-counts edge cells for
+nodes on the domain faces (`src/omp/ompsph.hpp:306-326` clamps both ±1 to the
+same cell).  The adjacency-masked strips count each cell once; the affected
+cells lie in the 2-cell padding band that the bounds clamp keeps empty.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from pbf_sph_tpu.ops.grid import GridSpec
+from pbf_sph_tpu.ops.mc import McSpec
+from pbf_sph_tpu.ops.pallas_pbf import (
+    BLK,
+    NSUB,
+    SUB,
+    STRIP_DXDY,
+    WCOL,
+    PallasPlanSpec,
+    _col_mask,
+    _phase_pallas,
+    _window_loop,
+)
+
+META_SKIP = np.float32(-2e9)
+
+
+def _node_static_plan(mc: McSpec, grid: GridSpec):
+    """Static per-sub-block window cell bounds + node metadata (NumPy)."""
+    nxn, nyn, nzn = mc.sample
+    ex, ey, ez = grid.extent
+    gnx, gny, gnz = grid.dims
+    L = nxn * nyn * nzn
+    lpad = -(-L // BLK) * BLK
+    res = np.float32(mc.resolution)
+
+    idx = np.arange(L, dtype=np.int64)
+    x = idx // (nyn * nzn)
+    rem = idx - x * (nyn * nzn)
+    y = rem // nzn
+    z = rem - y * nzn
+    cx = np.trunc(x.astype(np.float32) / res).astype(np.int64)
+    cy = np.trunc(y.astype(np.float32) / res).astype(np.int64)
+    cz = np.trunc(z.astype(np.float32) / res).astype(np.int64)
+    skip = (cx == ex) & (cy == ey) & (cz == ez)  # the far-corner node
+    lin = (cx * gny + cy) * gnz + cz
+
+    def pad(a, fill):
+        return np.concatenate([a, np.full(lpad - L, fill, a.dtype)])
+
+    node_xyz = (pad(x, 0), pad(y, 0), pad(z, 0))
+    meta_lin = pad(np.where(skip, -1, lin), -1)  # -1 => skip/pad row
+
+    # per-sub-block [cmin, cmax] node cells (node order is cell-lex-monotone)
+    nsub = lpad // SUB
+    first = np.minimum(np.arange(nsub) * SUB, L - 1)
+    last = np.minimum(np.arange(nsub) * SUB + SUB - 1, L - 1)
+
+    def cl(v, lo, hi):
+        return np.clip(v, lo, hi)
+
+    lo_cells = np.zeros((nsub, 9), np.int64)
+    hi_cells = np.zeros((nsub, 9), np.int64)
+    for s, (dx, dy) in enumerate(STRIP_DXDY):
+        def xc(c, d, e):
+            if d == 0:
+                return c  # raw center (may equal extent; reference parity)
+            return cl(c + d, 0, e - 1)
+
+        lo_cells[:, s] = (
+            (xc(cx[first], dx, ex) * gny + xc(cy[first], dy, ey)) * gnz
+            + cl(cz[first] - 1, 0, ez - 1)
+        )
+        hi_cells[:, s] = (
+            (xc(cx[last], dx, ex) * gny + xc(cy[last], dy, ey)) * gnz
+            + np.maximum(cz[last], cl(cz[last] + 1, 0, ez - 1))
+        )
+    # empty windows for fully-padded sub-blocks
+    full_pad = first >= L
+    lo_cells[full_pad] = 0
+    hi_cells[full_pad] = -1
+
+    return dict(
+        L=L, lpad=lpad,
+        node_xyz=node_xyz,
+        meta_lin=meta_lin,
+        lo_cells=lo_cells,
+        hi_cells=hi_cells,
+        skip=pad(skip, True),
+    )
+
+
+def plan_mc_windows(cell_table, static_plan, ncells: int, capacity: int, smax: int):
+    """Per-frame window bounds for the node kernel (static cell indices,
+    dynamic table)."""
+    lpad = static_plan["lpad"]
+    nblocks = lpad // BLK
+    lo_cells = jnp.asarray(np.clip(static_plan["lo_cells"], 0, ncells), jnp.int32)
+    hi_cells = jnp.asarray(np.clip(static_plan["hi_cells"] + 1, 0, ncells), jnp.int32)
+    lo = cell_table[lo_cells]  # (nsub, 9)
+    hi = cell_table[hi_cells]
+    lo = lo.reshape(nblocks, NSUB, 9)
+    hi = hi.reshape(nblocks, NSUB, 9)
+
+    strip_of = [s // 3 for s in range(9)]
+    # dx-strip start per block: the first sub-block's (dx, dy=-1) window start
+    sstart = jnp.stack([lo[:, 0, 3 * d] for d in range(3)], axis=1)  # (nblocks,3)
+    sstart = (sstart // WCOL) * WCOL
+    sstart = jnp.minimum(sstart, max(capacity - smax, 0)).astype(jnp.int32)
+    base = jnp.take(sstart, jnp.asarray(strip_of, jnp.int32), axis=1)[:, None, :]
+    rel_lo = jnp.clip(lo - base, 0, smax)
+    rel_hi_raw = hi - base
+    overflow = jnp.maximum(jnp.max(rel_hi_raw) - smax, 0).astype(jnp.int32)
+    rel_hi = jnp.clip(rel_hi_raw, 0, smax)
+    wins = jnp.stack([rel_lo, rel_hi], axis=-1).astype(jnp.int32)
+    srow = jnp.take(sstart, jnp.asarray(strip_of, jnp.int32), axis=1)
+    srow = jnp.stack([srow, jnp.zeros_like(srow)], axis=-1)[:, None, :, :]
+    wins_ex = jnp.concatenate([wins, srow], axis=1)
+    return wins_ex, overflow
+
+
+def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
+                       grid: GridSpec, h: float, scale: float,
+                       particle_influence: float, interpret=False):
+    """Raw field sums per node.
+
+    Candidate fields (8, C): [px, py, pz, clm, cr, cg, cb, ca] where clm is
+    the linear cell id (−1e9 for obstacles/non-members).
+    Row fields (4, LPAD): [awx, awy, awz, meta] (meta = node cell id, −2e9 for
+    the skip node / padding).
+    Output (16, LPAD): [S0, Sx, Sy, Sz, Cr, Cg, Cb, Ca, cnt, 0...] with
+    S0 = sum 1/len^infl, S* = sum l_*/len^infl over neighbours within h*scale
+    (reference accumulations, `src/omp/ompsph.hpp:335-346`, factors applied by
+    the caller)."""
+    nx, ny, nz = grid.dims
+    offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
+    threshold = np.float32(h * scale)
+    pinfl = float(particle_influence)
+
+    def powinfl(d):
+        if pinfl == 0.5:
+            return jnp.sqrt(d)
+        if pinfl == 1.0:
+            return d
+        return jnp.exp(np.float32(pinfl) * jnp.log(d))
+
+    def body(wins, rows, sbuf, slot, out, t):
+        ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        acl = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+
+        def make_chunk(off_s):
+            def chunk(slot_, strip, o, lo, hi, carry):
+                s0, sx, sy, sz, cr, cg, cb, ca, cnt = carry
+                bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bcl = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
+                m = _col_mask(o, lo, hi)
+                m = m & (jnp.abs(bcl - (acl + off_s)) <= 1.0)
+                lx = bx - ax
+                ly = by - ay
+                lz = bz - az
+                d2 = lx * lx + ly * ly + lz * lz
+                dist = jnp.sqrt(d2)
+                m = m & (dist < threshold)
+                denom = powinfl(dist)
+                w = jnp.where(m & (denom > 0), 1.0 / denom, 0.0)
+                mf = m.astype(jnp.float32)
+                return (
+                    s0 + w, sx + lx * w, sy + ly * w, sz + lz * w,
+                    cr + sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL) * mf,
+                    cg + sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL) * mf,
+                    cb + sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL) * mf,
+                    ca + sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL) * mf,
+                    cnt + mf,
+                )
+
+            return chunk
+
+        zero = jnp.zeros((SUB, WCOL), jnp.float32)
+        carry = (zero,) * 9
+        for s in range(9):
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]), carry)
+        for j, acc in enumerate(carry):
+            out[j, pl.ds(t * SUB, SUB)] = jnp.sum(acc, axis=1)
+        for j in range(9, 16):
+            out[j, pl.ds(t * SUB, SUB)] = jnp.zeros((SUB,), jnp.float32)
+
+    return _phase_pallas(body, nfields=8, nout=16, plan=plan, capacity=capacity,
+                         interpret=interpret, rows_capacity=lpad, rows_nfields=4)
+
+
+class PallasMcField:
+    """Per-spec factory (see PallasPhases)."""
+
+    def __init__(self, capacity: int, grid: GridSpec, mc: McSpec, h: float,
+                 scale: float, particle_influence: float, smax: int,
+                 interpret: bool = False):
+        self.grid = grid
+        self.mc = mc
+        self.h = h
+        self.smax = smax
+        self.static = _node_static_plan(mc, grid)
+        self.plan = PallasPlanSpec(nblocks=self.static["lpad"] // BLK, smax=smax)
+        self.capacity = capacity
+        self._call = make_mc_field_call(
+            self.plan, capacity, self.static["lpad"], grid, h, scale,
+            particle_influence, interpret,
+        )
+
+    def __call__(self, cell_table, cells, position, colour, ptype, alive, member,
+                 min_extent, particle_size, scale, dtype):
+        st = self.static
+        L = st["L"]
+        wins, overflow = plan_mc_windows(
+            cell_table, st, self.grid.ncells, self.capacity, self.smax
+        )
+
+        # candidates: obstacles / non-members never contribute.  `cells` are
+        # the sorted grid cells (from pStar at sort time — the reference's MC
+        # gathers by the pre-solve grid but measures distance to the
+        # post-finalise world positions, `src/omp/ompsph.hpp:335-337`)
+        nx, ny, nz = self.grid.dims
+        from pbf_sph_tpu.core.types import OBSTACLE
+
+        lin = (cells[0] * ny + cells[1]) * nz + cells[2]
+        clm = jnp.where(
+            (ptype != OBSTACLE) & alive & member, lin.astype(dtype), -1e9
+        )
+        packed = jnp.stack(
+            [position[0], position[1], position[2], clm,
+             colour[0], colour[1], colour[2], colour[3]]
+        )
+
+        res = jnp.asarray(self.mc.resolution, dtype)
+        step = jnp.asarray(self.h, dtype) / res
+        nxyz = [jnp.asarray(st["node_xyz"][a], jnp.int32) for a in range(3)]
+        aw = [
+            (min_extent[a] + nxyz[a].astype(dtype) * step) * scale for a in range(3)
+        ]
+        meta = jnp.asarray(st["meta_lin"], jnp.int32).astype(dtype)
+        meta = jnp.where(meta < 0, META_SKIP, meta)
+        rows = jnp.stack([aw[0], aw[1], aw[2], meta])
+
+        out = self._call(wins, packed, rows)  # (16, LPAD)
+        s0, sx, sy, sz = out[0, :L], out[1, :L], out[2, :L], out[3, :L]
+        csum = out[4:8, :L]
+        cnt = out[8, :L]
+
+        skip = jnp.asarray(st["skip"][:L])
+        lat_v = jnp.where(skip, 0.0, particle_size * s0)
+        n_norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        # normal = normalize(-infl*size*S) = -S/|S| (raw divide: NaN when
+        # empty, like the reference); skip nodes stay exactly 0
+        lat_n = jnp.stack(
+            [jnp.where(skip, 0.0, -sx / n_norm),
+             jnp.where(skip, 0.0, -sy / n_norm),
+             jnp.where(skip, 0.0, -sz / n_norm)]
+        )
+        lat_c = jnp.stack([jnp.where(skip, 0.0, csum[a] / cnt) for a in range(4)])
+        return lat_v, lat_n, lat_c, overflow

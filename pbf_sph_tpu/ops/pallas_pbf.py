@@ -155,14 +155,21 @@ def _wait_strip_dmas(p_hbm, sbuf, sems, slot, smax):
 
 
 def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity: int,
-                  interpret: bool = False):
+                  interpret: bool = False, rows_capacity: int = 0, rows_nfields: int = 0):
     """Assemble the common pallas_call for one phase.
 
     body(wins_smem, rows_vmem, strips_vmem_slot, out_ref, t) -> None is the
     per-sub-block compute; everything else (strip DMA pipelining, window
-    bookkeeping) is shared."""
+    bookkeeping) is shared.
+
+    By default rows == the candidate array (particle phases).  Pass
+    rows_capacity/rows_nfields for kernels whose rows are a different array
+    (the MC lattice kernel: rows = nodes, candidates = particles)."""
     smax = plan.smax
     nblocks = plan.nblocks
+    rows_capacity = rows_capacity or capacity
+    rows_nfields = rows_nfields or nfields
+    assert rows_capacity == nblocks * BLK
 
     def kernel(wins, wins_nxt, p_any, rows, out, sbuf, sems):
         b = pl.program_id(0)
@@ -191,7 +198,7 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
                          lambda b: (jnp.minimum(b + 1, nblocks - 1), 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((nfields, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_nfields, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nout, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -200,13 +207,14 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
         ],
     )
 
-    def call(wins, packed):
+    def call(wins, packed, rows=None):
+        rows = packed if rows is None else rows
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nout, capacity), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nout, rows_capacity), jnp.float32),
             interpret=interpret,
-        )(wins, wins, packed, packed)
+        )(wins, wins, packed, rows)
 
     return call
 
