@@ -546,7 +546,10 @@ class JaxSolver(Solver):
             # grow and re-run the frame under a larger spec (rare recompile)
             new_k = spec.cell_capacity
             if need_k:
-                new_k = -(-occ // 16) * 16
+                # 1.5x headroom: occupancy keeps rising while the fluid
+                # compresses; growing to the observed max exactly causes a
+                # recompile every few frames
+                new_k = -(-int(occ * 1.5) // 16) * 16
             surface = spec.surface
             if need_t:
                 surface = dataclasses.replace(surface, tri_capacity=-(-tri_count // 1024) * 1024)

@@ -129,9 +129,14 @@ def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
                 lvec = [position[a][idx] - a_world[a][None, :] for a in range(3)]
                 d2 = lvec[0] ** 2 + lvec[1] ** 2 + lvec[2] ** 2
                 dist = jnp.sqrt(d2)
+                # zero-distance particles are skipped (the reference divides by
+                # zero and yields inf, `src/omp/ompsph.hpp:340-341`; a
+                # measure-zero event we replace with the sane convention,
+                # identical across the XLA and Pallas paths)
                 use = mask & (ptype[idx] != OBSTACLE) & (dist < threshold)
                 denom = dist**particle_influence
-                denom_safe = jnp.where(use & (denom > 0), denom, 1.0)
+                use = use & (denom > 0)
+                denom_safe = jnp.where(use, denom, 1.0)
                 w = jnp.where(use, particle_size / denom_safe, 0.0)
                 v_acc = v_acc + jnp.sum(w, axis=0)
                 usef = use.astype(dtype)

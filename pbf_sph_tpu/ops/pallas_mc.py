@@ -74,34 +74,41 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
     node_xyz = (pad(x, 0), pad(y, 0), pad(z, 0))
     meta_lin = pad(np.where(skip, -1, lin), -1)  # -1 => skip/pad row
 
-    # per-sub-block [cmin, cmax] node cells (node order is cell-lex-monotone)
+    # Per-sub-block window cell bounds.  Node (lex) order is NOT cell-lex
+    # monotone across node-row boundaries (z resets while the cell row may
+    # stay the same), so bounds are true min/max over each sub-block's nodes.
     nsub = lpad // SUB
-    first = np.minimum(np.arange(nsub) * SUB, L - 1)
-    last = np.minimum(np.arange(nsub) * SUB + SUB - 1, L - 1)
 
     def cl(v, lo, hi):
         return np.clip(v, lo, hi)
 
+    def per_sub(vals, reduce_fn, fill):
+        padded = np.concatenate([vals, np.full(lpad - L, fill, vals.dtype)])
+        return reduce_fn(padded.reshape(nsub, SUB), axis=1)
+
     lo_cells = np.zeros((nsub, 9), np.int64)
     hi_cells = np.zeros((nsub, 9), np.int64)
+    big = np.int64(1) << 60
     for s, (dx, dy) in enumerate(STRIP_DXDY):
         def xc(c, d, e):
             if d == 0:
                 return c  # raw center (may equal extent; reference parity)
             return cl(c + d, 0, e - 1)
 
-        lo_cells[:, s] = (
-            (xc(cx[first], dx, ex) * gny + xc(cy[first], dy, ey)) * gnz
-            + cl(cz[first] - 1, 0, ez - 1)
+        lo_lin = (
+            (xc(cx, dx, ex) * gny + xc(cy, dy, ey)) * gnz + cl(cz - 1, 0, ez - 1)
         )
-        hi_cells[:, s] = (
-            (xc(cx[last], dx, ex) * gny + xc(cy[last], dy, ey)) * gnz
-            + np.maximum(cz[last], cl(cz[last] + 1, 0, ez - 1))
+        hi_lin = (
+            (xc(cx, dx, ex) * gny + xc(cy, dy, ey)) * gnz
+            + np.maximum(cz, cl(cz + 1, 0, ez - 1))
         )
+        lo_cells[:, s] = per_sub(lo_lin, np.min, big)
+        hi_cells[:, s] = per_sub(hi_lin, np.max, -1)
     # empty windows for fully-padded sub-blocks
-    full_pad = first >= L
+    full_pad = np.arange(nsub) * SUB >= L
     lo_cells[full_pad] = 0
     hi_cells[full_pad] = -1
+    lo_cells = np.minimum(lo_cells, hi_cells + 1)
 
     return dict(
         L=L, lpad=lpad,
@@ -126,8 +133,10 @@ def plan_mc_windows(cell_table, static_plan, ncells: int, capacity: int, smax: i
     hi = hi.reshape(nblocks, NSUB, 9)
 
     strip_of = [s // 3 for s in range(9)]
-    # dx-strip start per block: the first sub-block's (dx, dy=-1) window start
-    sstart = jnp.stack([lo[:, 0, 3 * d] for d in range(3)], axis=1)  # (nblocks,3)
+    # dx-strip start per block: min window start over the block's sub-blocks
+    sstart = jnp.stack(
+        [jnp.min(lo[:, :, 3 * d : 3 * d + 3], axis=(1, 2)) for d in range(3)], axis=1
+    )  # (nblocks,3)
     sstart = (sstart // WCOL) * WCOL
     sstart = jnp.minimum(sstart, max(capacity - smax, 0)).astype(jnp.int32)
     base = jnp.take(sstart, jnp.asarray(strip_of, jnp.int32), axis=1)[:, None, :]
@@ -189,7 +198,8 @@ def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
                 dist = jnp.sqrt(d2)
                 m = m & (dist < threshold)
                 denom = powinfl(dist)
-                w = jnp.where(m & (denom > 0), 1.0 / denom, 0.0)
+                m = m & (denom > 0)  # skip zero-distance (see ops/mc.py note)
+                w = jnp.where(m, 1.0 / denom, 0.0)
                 mf = m.astype(jnp.float32)
                 return (
                     s0 + w, sx + lx * w, sy + ly * w, sz + lz * w,
