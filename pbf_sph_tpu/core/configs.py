@@ -37,16 +37,20 @@ def dam_break(
     S = (count * sp**3 / frac) ** (1.0 / 3.0)  # domain side in sim units
     scale = 1000.0 / S
 
+    sp_world = float(sp * scale)
+    margin = 0.02 * 1000.0
+    max_side = int((1000.0 - 2 * margin) / sp_world)  # lattice points per axis
+
     nx = max(1, int(round(0.3 * S / sp)))
-    ny = max(1, int(round(0.9 * S / sp)))
-    nz = max(1, int(round(count / (nx * ny))))
+    ny = min(max_side, max(1, int(round(0.9 * S / sp))))
+    nz = min(max_side, max(1, int(round(count / (nx * ny)))))
+    nx = min(max_side, max(1, -(-count // (ny * nz))))  # widen x to fit count
     n = nx * ny * nz
 
     x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
     grid = np.stack([x.ravel(), y.ravel(), z.ravel()], 1).astype(dtype)
-    sp_world = dtype(sp * scale)
-    margin = dtype(0.02 * 1000.0)
-    pos = grid * sp_world + margin
+    pos = grid * dtype(sp_world) + dtype(margin)
+    assert pos.max() <= 1000.0 - margin / 2, "dam column must fit the domain"
     particles = ParticleSoA(
         pid=np.arange(n, dtype=np.int32),
         ptype=np.full(n, FLUID, np.int32),
