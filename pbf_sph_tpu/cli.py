@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output dir template, expands {impl} {type} {iter}")
     p.add_argument("--workload", default="bench20k", choices=sorted(WORKLOADS),
                    help="workload preset (default: the reference benchmark)")
+    p.add_argument("--count", type=int, default=0,
+                   help="override the workload's particle count")
     p.add_argument("--no-surface", action="store_true", help="disable marching cubes")
     p.add_argument("--phase-timings", action="store_true",
                    help="print the per-frame Stopwatch phase table")
@@ -107,7 +109,16 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_enable_x64", True)
 
-    mc, config, particles = WORKLOADS[args.workload]()
+    if args.count and args.workload.startswith("bench"):
+        from pbf_sph_tpu.core.scene import simple_config_with_2_cubes
+
+        mc, config, particles = simple_config_with_2_cubes(args.count, 6, 500.0)
+    elif args.count:
+        from pbf_sph_tpu.core.configs import dam_break
+
+        mc, config, particles = dam_break(args.count)
+    else:
+        mc, config, particles = WORKLOADS[args.workload]()
     if config.surface is None and not args.no_surface and args.workload.startswith("bench"):
         config = config.replace(surface=mc)
     if args.no_surface:

@@ -68,7 +68,7 @@ def _mix(x, y, a):
 class NumpySolver(Solver):
     def __init__(self, h: float = 0.1, dtype=np.float32):
         super().__init__(h)
-        self.dtype = dtype
+        self.dtype = np.dtype(dtype).type  # scalar type: accepts "float32" etc.
 
     # -- grid helpers -------------------------------------------------------
 
