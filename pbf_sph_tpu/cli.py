@@ -178,11 +178,12 @@ def main(argv=None) -> int:
         f"Final Vertex count   : {len(result.mesh.vs)}\n"
         f"Final Particle count : {len(xs)} \n"
     )
-    if args.output:
-        from pbf_sph_tpu.utils.export import save
+    # the reference always saves to the (templated) output dir
+    # (`src/benchmark.cpp:102-103`)
+    from pbf_sph_tpu.utils.export import save
 
-        save(result, xs, output)
-        print("Results flushed.")
+    save(result, xs, output)
+    print("Results flushed.")
     return 0
 
 

@@ -158,7 +158,8 @@ class NumpySolver(Solver):
                 xs.position[idx], xs.velocity[idx], xs.colour[idx],
             )
         if len(xs) == 0:
-            # "Particles depleted" early-out (reference `src/omp/ompsph.hpp:122-126`)
+            # reference prints and early-outs (`src/omp/ompsph.hpp:122-126`)
+            print("Particles depleted")
             return Result(), xs
 
         n = len(xs)
