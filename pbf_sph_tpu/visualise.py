@@ -71,8 +71,9 @@ def main(argv=None) -> int:
     if args.resume:
         from pbf_sph_tpu.utils.export import load_checkpoint
 
-        xs, frame0 = load_checkpoint(args.resume)
-        print(f"resumed {len(xs)} particles at frame {frame0}")
+        xs, last_frame = load_checkpoint(args.resume)
+        frame0 = last_frame + 1  # the checkpoint holds post-frame state
+        print(f"resumed {len(xs)} particles after frame {last_frame}")
 
     for frame in range(frame0, frame0 + args.frames):
         cfg = config if args.no_motion else apply_motion_sin_x_cos_z(config, frame)
