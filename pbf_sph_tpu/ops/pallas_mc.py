@@ -24,8 +24,6 @@ cells lie in the 2-cell padding band that the bounds clamp keeps empty.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

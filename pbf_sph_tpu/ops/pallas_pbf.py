@@ -28,7 +28,6 @@ only the far corner of the padded grid, which the bounds clamp keeps empty.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Tuple
 

@@ -265,10 +265,6 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         install(ghost_from_r, CL + H)    # ghosts on our right edge
 
         # 4. local sort over the local grid (owned + ghost columns)
-        lcells = (
-            jnp.clip(gcx, -(1 << 20), 1 << 20) - me * spec.slab_w + 1,
-        )
-        # recompute all three local coords from pstar
         from pbf_sph_tpu.ops.grid import cell_coords, sort_key
 
         cells_g = cell_coords(pstar, min_extent, h)
@@ -324,7 +320,6 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
 
         # 7. finalise; drop ghosts
         new_pos, new_vel = pbf.finalise(position, vel, pstar, ptype, alive, dt, scale, dtype)
-        is_ghost = jnp.arange(CT) >= 0
         ghost_mask = jnp.zeros((CT,), bool).at[CL:].set(True)[order]
         alive = alive & ~ghost_mask
 
