@@ -82,6 +82,10 @@ class StepSpec:
     # Pallas strip-buffer capacity (columns); 0 = auto.  Grown on
     # strip_overflow like cell_capacity is grown on occupancy.
     strip_capacity: int = 0
+    # Pallas MC field kernel: node blocks can span x-slab boundaries, where
+    # strips may legitimately exceed any VMEM-safe capacity; when MC strip
+    # overflow persists at the cap, fall back to the XLA field for this spec.
+    mc_pallas: bool = True
 
 
 def scene_spec_of(scene: Scene, config: SphParams, query_capacity: int = 128) -> SceneSpec:
@@ -265,12 +269,14 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         )
 
     mc_field_pallas = None
-    if use_pallas and spec.surface is not None:
+    MC_SMAX_CAP = 16384  # VMEM-safe strip bound for the node kernel
+    if use_pallas and spec.surface is not None and spec.mc_pallas:
         from pbf_sph_tpu.ops.pallas_mc import PallasMcField
 
+        mc_smax = min(max(phases.smax, 8192), MC_SMAX_CAP, spec.capacity)
         mc_field_pallas = PallasMcField(
             spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
-            spec.surface.influence_static, phases.smax, interpret=interp,
+            spec.surface.influence_static, mc_smax, interpret=interp,
         )
 
     def step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
@@ -384,6 +390,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             alive_count=jnp.sum(state.alive).astype(jnp.int32),
             spawn_dropped=spawn_dropped,
             strip_overflow=strip_overflow,
+            mc_strip_overflow=jnp.asarray(0, jnp.int32),
             query_ids=q_ids,
             query_counts=q_counts,
         )
@@ -396,9 +403,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
                     member, min_extent, dyn["mc_particle_size"].astype(dtype),
                     scale, dtype,
                 )
-                outputs["strip_overflow"] = jnp.maximum(
-                    outputs["strip_overflow"], mc_overflow
-                )
+                outputs["mc_strip_overflow"] = mc_overflow
             else:
                 lat_v, lat_n, lat_c = mc_ops.mc_field(
                     position, colour, state.ptype, state.alive, cell_table, spec.grid,
@@ -537,10 +542,12 @@ class JaxSolver(Solver):
             occ = int(out["max_occupancy"])
             tri_count = int(out["tri_count"]) if spec.surface is not None else 0
             strip_ovf = int(out["strip_overflow"])
+            mc_ovf = int(out["mc_strip_overflow"])
             need_k = occ > spec.cell_capacity
             need_t = spec.surface is not None and tri_count > spec.surface.tri_capacity
             need_s = strip_ovf > 0
-            if not (need_k or need_t or need_s):
+            need_mc = mc_ovf > 0 and spec.mc_pallas
+            if not (need_k or need_t or need_s or need_mc):
                 break
             # grow and re-run the frame under a larger spec (rare recompile)
             new_k = spec.cell_capacity
@@ -557,8 +564,15 @@ class JaxSolver(Solver):
                 from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
                 new_s = grown_strip_capacity(spec, strip_ovf)
+            mc_pallas = spec.mc_pallas
+            if need_mc:
+                if max(new_s, spec.strip_capacity, 8192) < 16384:
+                    new_s = max(new_s, 16384)
+                else:
+                    mc_pallas = False  # fall back to the XLA MC field
             spec = dataclasses.replace(
-                spec, cell_capacity=new_k, surface=surface, strip_capacity=new_s
+                spec, cell_capacity=new_k, surface=surface, strip_capacity=new_s,
+                mc_pallas=mc_pallas,
             )
         else:
             raise RuntimeError("capacity growth did not converge")
