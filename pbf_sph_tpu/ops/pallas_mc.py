@@ -63,8 +63,17 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
     cx = np.trunc(x.astype(np.float32) / res).astype(np.int64)
     cy = np.trunc(y.astype(np.float32) / res).astype(np.int64)
     cz = np.trunc(z.astype(np.float32) / res).astype(np.int64)
-    skip = (cx == ex) & (cy == ey) & (cz == ez)  # the far-corner node
     lin = (cx * gny + cy) * gnz + cz
+
+    # Process nodes in CELL-SORTED order (static permutation): a block of BLK
+    # consecutive rows then spans ~BLK/res^3 contiguous cells, which bounds
+    # the dx-strip length to (block cells + 2nz)*occupancy — node-lex order
+    # lets blocks straddle x-slabs, making strips arbitrarily long.
+    order = np.lexsort((idx, lin))
+    x, y, z = x[order], y[order], z[order]
+    cx, cy, cz = cx[order], cy[order], cz[order]
+    lin = lin[order]
+    skip = (cx == ex) & (cy == ey) & (cz == ez)  # the far-corner node
 
     def pad(a, fill):
         return np.concatenate([a, np.full(lpad - L, fill, a.dtype)])
@@ -108,6 +117,8 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
     hi_cells[full_pad] = -1
     lo_cells = np.minimum(lo_cells, hi_cells + 1)
 
+    inv = np.zeros(L, np.int64)
+    inv[order] = np.arange(L)
     return dict(
         L=L, lpad=lpad,
         node_xyz=node_xyz,
@@ -115,6 +126,7 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
         lo_cells=lo_cells,
         hi_cells=hi_cells,
         skip=pad(skip, True),
+        inv_perm=inv,  # lattice-order index -> kernel row
     )
 
 
@@ -275,12 +287,13 @@ class PallasMcField:
         meta = jnp.where(meta < 0, META_SKIP, meta)
         rows = jnp.stack([aw[0], aw[1], aw[2], meta])
 
-        out = self._call(wins, packed, rows)  # (16, LPAD)
-        s0, sx, sy, sz = out[0, :L], out[1, :L], out[2, :L], out[3, :L]
-        csum = out[4:8, :L]
-        cnt = out[8, :L]
+        out = self._call(wins, packed, rows)  # (16, LPAD), cell-sorted rows
+        inv = jnp.asarray(st["inv_perm"], jnp.int32)  # back to lattice order
+        s0, sx, sy, sz = out[0, inv], out[1, inv], out[2, inv], out[3, inv]
+        csum = out[4:8, inv]
+        cnt = out[8, inv]
 
-        skip = jnp.asarray(st["skip"][:L])
+        skip = jnp.asarray(st["skip"])[inv]
         lat_v = jnp.where(skip, 0.0, particle_size * s0)
         n_norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
         # normal = normalize(-infl*size*S) = -S/|S| (raw divide: NaN when
