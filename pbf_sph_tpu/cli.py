@@ -73,6 +73,25 @@ def list_devices(verbose: bool) -> None:
         print(f"[0] cpu (jax unavailable: {e})")
 
 
+def find_device(specs: List[str], verbose: bool = False):
+    """Select a jax device by index or name substring (reference
+    `src/utils.hpp:128-159`: try index first, then case-insensitive substring
+    over the enumerated names; on no match, print the device list and fail)."""
+    import jax
+
+    devs = jax.devices()
+    for spec in specs:
+        s = spec.strip()
+        if s.isdigit() and int(s) < len(devs):
+            return devs[int(s)]
+        for d in devs:
+            name = f"{d.platform}:{d.device_kind} {d}"
+            if s.lower() in name.lower():
+                return d
+    list_devices(verbose)
+    raise SystemExit(f"No device matched {specs!r} (available devices listed above)")
+
+
 def rendered_output_name(template: str, impl: str, fp64: bool, iterations: int) -> str:
     """Output-name templating (reference `src/args.cpp:69-75`)."""
     t = "double" if fp64 else "float"
@@ -97,9 +116,17 @@ def main(argv=None) -> int:
         return 0
 
     dtype = "float64" if args.fp64 else "float32"
-    if args.impl == "cpp" and args.fp64:
-        print("FP64 is not supported for the cpp backend!", file=sys.stderr)
+    if args.impl in ("cpp", "pallas") and args.fp64:
+        # mirror the reference's explicit fp64 rejection (benchmark.cpp:140-141)
+        print(f"FP64 is not supported for the {args.impl} backend!", file=sys.stderr)
         return 1
+
+    if args.devices and args.impl in ("jax", "pallas"):
+        import jax
+
+        dev = find_device(args.devices, args.verbose)
+        print(f"Using device: {dev}")
+        jax.config.update("jax_default_device", dev)
 
     kwargs = {}
     if args.impl in ("jax", "pallas", "numpy"):

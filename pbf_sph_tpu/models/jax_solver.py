@@ -293,6 +293,15 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         padding = jnp.asarray(h, dtype) * 2
         min_extent = min_bound / scale - padding
 
+        # GridSpec freezes the extent from the *initial* bounds (safe under the
+        # benchmark's translation-only motion); assert per frame that the
+        # current bounds still span the compiled extent so a scaled/resized
+        # domain fails loudly instead of silently mis-gridding.
+        needed = jnp.trunc(
+            ((max_bound / scale + padding) - min_extent) / jnp.asarray(h, dtype)
+        ).astype(jnp.int32)
+        extent_ok = jnp.all(needed <= jnp.asarray(spec.grid.extent, jnp.int32))
+
         # 3. advect
         vel, pstar = pbf.advect(
             state.position, state.velocity, state.mass, state.ptype, state.alive,
@@ -389,6 +398,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             max_occupancy=occupancy,
             alive_count=jnp.sum(state.alive).astype(jnp.int32),
             spawn_dropped=spawn_dropped,
+            extent_ok=extent_ok,
             strip_overflow=strip_overflow,
             mc_strip_overflow=jnp.asarray(0, jnp.int32),
             query_ids=q_ids,
@@ -447,6 +457,11 @@ class JaxSolver(Solver):
         self.query_capacity = int(query_capacity)
         self.tri_capacity = int(tri_capacity)
         self.use_pallas = bool(use_pallas)
+        if self.use_pallas and self.dtype != np.dtype("float32"):
+            # explicit rejection like the reference's fp64-less OCL backend
+            # (`src/benchmark.cpp:140-141`); the Pallas kernels are f32-only
+            # (f32 scratch strips + f32-exact linear cell ids)
+            raise ValueError("FP64 is not supported for the pallas backend")
         self._steps: Dict[StepSpec, Any] = {}
 
     # -- spec / step management ---------------------------------------------
@@ -539,6 +554,12 @@ class JaxSolver(Solver):
         for _attempt in range(4):
             state = FluidState.from_soa(xs, spec.capacity, self.dtype)
             new_state, out = self.get_step(spec)(state, dyn, scn)
+            if not bool(out["extent_ok"]):
+                raise RuntimeError(
+                    "frame bounds exceed the compiled grid extent "
+                    f"{spec.grid.extent}; the solver's GridSpec was frozen from "
+                    "the initial bounds — rebuild the solver for a larger domain"
+                )
             occ = int(out["max_occupancy"])
             tri_count = int(out["tri_count"]) if spec.surface is not None else 0
             strip_ovf = int(out["strip_overflow"])

@@ -1,0 +1,635 @@
+"""Pallas TPU kernels v2: compacted-candidate diffuse/lambda/delta phases.
+
+Round-1 profile (BENCHMARKS.md): the 13 neighbour-phase dispatches dominate
+the frame (~420 of 482 ms/step at 1M) and are VPU-instruction-bound.  Two
+structural costs in the v1 kernels (`ops/pallas_pbf.py`):
+  * lane fill ~40%: each sub-block visits 9 scattered (dx,dy) windows, each
+    padded to 128-lane aligned chunks (Mosaic requires 128-aligned dynamic
+    minor-dim offsets), and
+  * ~40 effective VPU ops per pair (sqrt + div + window/adjacency masks).
+
+v2 factors the frame differently:
+
+  1. `plan_compact` (XLA, once per frame): per SUB-row sub-block, the 9
+     stencil windows are merged into <=9 *disjoint* source intervals (per
+     dx-strip the three dy-intervals are clipped against each other, so the
+     union is covered exactly once — no duplicate pairs by construction).
+  2. A *compaction kernel* (once per field-group per solver iteration) DMAs
+     the 3 dx-strips like v1, but only to copy each sub-block's intervals
+     back-to-back into a dense (F, nsub*WCAP) HBM array using dynamic lane
+     rotates.  Unwritten tail lanes are filled with a finite +1e9 sentinel
+     (every field: uninitialised VMEM scratch may hold NaNs, and NaN
+     poisons jnp.maximum-based range tests).
+  3. Dense `lambda`/`delta`/`diffuse` kernels read the compacted candidates
+     with plain BlockSpec pipelining — no manual DMA, no window masks.  A
+     compacted candidate is always a member of the sub-block's merged
+     stencil, so for lambda/delta validity needs only the reference's own
+     r-tests (any pair >= 2 cells apart is strictly > h away since cells are
+     h-sized); diffuse (no distance cutoff in the reference) carries the
+     linear cell id and uses a two-level band test.
+
+Pair math is restructured (same values up to fp rounding; reference
+`src/ocl/oclsph_kernel.h:95-162`):
+  * r2-space range tests; rsqrt instead of sqrt + divide:
+    (h-r)^2/r = relu(h - r2*u)^2 * u  with u = rsqrt(r2),
+  * r2 is clamped to EPSILON^2 from below instead of masking r < EPSILON:
+    the self pair still contributes exactly 0 to gradients (dx=dy=dz=0) and
+    the correct poly6(0) to the density; *distinct* coincident particles
+    (r < 1e-8, physically excluded by the solver) would contribute O(h^2)
+    instead of the reference's 0 — a documented divergence far below fp32
+    test tolerance.
+
+Degenerate grids where one block's three dx-strips overlap (tiny scenes
+whose blocks span most of the domain) break the no-duplicate argument;
+`plan_compact` reports `strip_overlap` and the solver falls back to the v1
+kernels.
+
+Fidelity: reference math `src/ocl/oclsph_kernel.h:67-162` (diffuse constants
+1.33 / dt/750, lambda CFM, delta s-corr + in-iteration bounds clamp — clamp
+applied by the XLA caller like v1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pbf_sph_tpu.core.constants import DEFAULT_CONSTANTS as K
+from pbf_sph_tpu.ops.grid import GridSpec
+from pbf_sph_tpu.ops.kernels import poly6_factor, spiky_kernel_factor
+
+BLK = 1024          # rows per grid step (block)
+SUB = 32            # rows per sub-block (one compacted candidate slab each)
+NSUB = BLK // SUB
+WCOL = 128          # lane count
+NIV = 9             # max disjoint source intervals per sub-block
+SENTINEL = np.float32(1.0e9)
+
+
+@dataclass(frozen=True)
+class Plan2Spec:
+    nblocks: int
+    smax: int           # per-dx-strip VMEM capacity (columns)
+    wcap: int           # compacted candidate capacity per sub-block
+
+
+def default_wcap() -> int:
+    # windows ~9*(SUB + 3*occ) at occupancy ~6.4 -> ~460; 1.5x headroom
+    return 768
+
+
+def grown_wcap(wcap: int, overflow: int) -> int:
+    need = wcap + int(overflow)
+    return -(-need // 128) * 128 + 128
+
+
+def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
+                 smax: int, wcap: int):
+    """Per-frame compaction plan (XLA).
+
+    Returns (wins, overflows):
+      wins = dict(
+        meta   (nsub, NIV, 3) int32: (strip_id, src_rel_lo, dst*65536+len),
+        nchunk (nsub,) int32: ceil(Wtot/128) dst chunks per sub-block,
+        sstart (nblocks, 3) int32: 128-aligned strip start columns)
+      overflows = dict(strip_overflow, wcap_overflow, strip_overlap) int32
+    """
+    C = capacity
+    assert C % BLK == 0
+    nblocks = C // BLK
+    ncells = grid.ncells
+    nx, ny, nz = grid.dims
+    nynz = ny * nz
+
+    lin = jnp.minimum(sorted_key, ncells - 1)
+    member_count = cell_table[ncells]
+    last_valid = lin[jnp.maximum(member_count - 1, 0)]
+    lin = jnp.minimum(lin, last_valid)
+    cmin = lin[0::SUB]                      # (nsub,)
+    cmax = lin[SUB - 1 :: SUB]
+
+    # per-block strip starts (128-aligned) + strip content ranges
+    cmin_b = cmin.reshape(nblocks, NSUB)[:, 0]
+    cmax_b = cmax.reshape(nblocks, NSUB)[:, -1]
+    sstarts, sends = [], []
+    for dx in (-1, 0, 1):
+        lo_cell = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
+        hi_cell = jnp.clip(cmax_b + dx * nynz + nz + 2, 0, ncells)
+        sstarts.append(cell_table[lo_cell])
+        sends.append(cell_table[hi_cell])
+    sstart = jnp.stack(sstarts, axis=1).astype(jnp.int32)   # (nblocks, 3)
+    send = jnp.stack(sends, axis=1).astype(jnp.int32)
+    sstart_al = (sstart // WCOL) * WCOL
+    sstart_al = jnp.minimum(sstart_al, max(C - smax, 0)).astype(jnp.int32)
+    # each particle must be copied at most once: strip content ranges disjoint
+    ov01 = jnp.maximum(send[:, 0] - sstart[:, 1], 0)
+    ov12 = jnp.maximum(send[:, 1] - sstart[:, 2], 0)
+    strip_overlap = jnp.max(jnp.maximum(ov01, ov12)).astype(jnp.int32)
+    strip_overflow = jnp.maximum(jnp.max(send - sstart_al) - smax, 0).astype(jnp.int32)
+
+    # 9 raw intervals per sub-block (dx-strip major, dy minor)
+    los, his = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            off = dx * nynz + dy * nz
+            lo_cell = jnp.clip(cmin + off - 1, 0, ncells)
+            hi_cell = jnp.clip(cmax + off + 2, 0, ncells)
+            los.append(cell_table[lo_cell])
+            his.append(cell_table[hi_cell])
+    lo = jnp.stack(los, axis=1)             # (nsub, 9) absolute columns
+    hi = jnp.stack(his, axis=1)
+
+    # clip each dy-interval against the running end of previous ones in its
+    # strip -> disjoint intervals covering the union exactly once
+    parts_lo, parts_len = [], []
+    for s in range(3):
+        rh = None
+        for d in range(3):
+            l, h_ = lo[:, 3 * s + d], hi[:, 3 * s + d]
+            al = l if rh is None else jnp.maximum(l, rh)
+            parts_lo.append(al)
+            parts_len.append(jnp.maximum(h_ - al, 0))
+            rh = h_ if rh is None else jnp.maximum(rh, h_)
+    ilo = jnp.stack(parts_lo, axis=1)       # (nsub, 9)
+    ilen = jnp.stack(parts_len, axis=1)
+
+    strip_of = np.repeat(np.arange(3, dtype=np.int32), 3)   # (9,)
+    base = jnp.take(
+        jnp.repeat(sstart_al, NSUB, axis=0), jnp.asarray(strip_of), axis=1
+    )                                                       # (nsub, 9)
+    rel_lo = jnp.clip(ilo - base, 0, smax - 1)
+    dst = jnp.cumsum(ilen, axis=1) - ilen   # exclusive prefix per sub-block
+    wtot = dst[:, -1] + ilen[:, -1]
+    wcap_overflow = jnp.maximum(jnp.max(wtot) - wcap, 0).astype(jnp.int32)
+    dst = jnp.minimum(dst, wcap - 1)
+    ilen = jnp.minimum(ilen, jnp.maximum(wcap - dst, 0))
+
+    meta = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(strip_of)[None, :], ilo.shape),
+            rel_lo,
+            dst * 65536 + ilen,
+        ],
+        axis=-1,
+    ).astype(jnp.int32)                     # (nsub, 9, 3)
+    nchunk = ((jnp.minimum(wtot, wcap) + WCOL - 1) // WCOL).astype(jnp.int32)
+    wins = dict(meta=meta, nchunk=nchunk, sstart=sstart_al)
+    overflows = dict(
+        strip_overflow=strip_overflow,
+        wcap_overflow=wcap_overflow,
+        strip_overlap=strip_overlap,
+    )
+    return wins, overflows
+
+
+# ---------------------------------------------------------------------------
+# Compaction kernel
+# ---------------------------------------------------------------------------
+
+
+def _issue_strips(p_hbm, sbuf, sems, slot, sstart_ref, b, smax):
+    for s in range(3):
+        start = pl.multiple_of(sstart_ref[b, s], WCOL)
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(start, smax)], sbuf.at[slot, s], sems.at[slot, s]
+        ).start()
+
+
+def _wait_strips(p_hbm, sbuf, sems, slot, smax):
+    for s in range(3):
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot, s], sems.at[slot, s]
+        ).wait()
+
+
+def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
+    """Compact nf fields from the sorted particle array into dense per-sub-
+    block candidate slabs: (nf, C) -> (nf, (C//SUB) * WCAP).
+
+    All fields' unwritten tail lanes are set to the finite SENTINEL."""
+    smax = plan.smax
+    wcap = plan.wcap
+    nblocks = plan.nblocks
+    nwc = wcap // WCOL
+    assert wcap % WCOL == 0
+
+    def kernel(sstart, meta, p_any, out, sbuf, sems):
+        b = pl.program_id(0)
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b == 0)
+        def _():
+            _issue_strips(p_any, sbuf, sems, 0, sstart, 0, smax)
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            _issue_strips(p_any, sbuf, sems, 1 - slot, sstart,
+                          jnp.minimum(b + 1, nblocks - 1), smax)
+
+        _wait_strips(p_any, sbuf, sems, slot, smax)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WCOL), 1)
+        fill = jnp.full((WCOL,), SENTINEL, jnp.float32)
+
+        for t in range(NSUB):  # static
+            for f in range(nf):
+                for c in range(nwc):
+                    out[f, pl.ds(t * wcap + c * WCOL, WCOL)] = fill
+
+            def interval(i, _):
+                strip = meta[0, t, i, 0]
+                rel_lo = meta[0, t, i, 1]
+                dl = meta[0, t, i, 2]
+                dst = dl // 65536
+                ln = dl - dst * 65536
+
+                c0 = dst // WCOL
+                nch = (dst + ln - c0 * WCOL + WCOL - 1) // WCOL
+
+                def dst_chunk(ci, _):
+                    c = c0 + ci
+                    # source columns for dst lanes [c*128, c*128+128)
+                    s0 = c * WCOL - dst + rel_lo
+                    r = jax.lax.rem(s0 + 2 * smax, WCOL)    # nonneg mod
+                    bse = s0 - r
+                    ba = jnp.clip(bse, 0, smax - WCOL)
+                    bb = jnp.clip(bse + WCOL, 0, smax - WCOL)
+                    dcol = c * WCOL + lane
+                    valid = (dcol >= dst) & (dcol < dst + ln)
+                    sel = lane < (WCOL - r)
+                    for f in range(nf):
+                        A = sbuf[slot, strip, f, pl.ds(ba, WCOL)].reshape(1, WCOL)
+                        B = sbuf[slot, strip, f, pl.ds(bb, WCOL)].reshape(1, WCOL)
+                        rolled = jnp.where(
+                            sel, pltpu.roll(A, WCOL - r, 1), pltpu.roll(B, WCOL - r, 1)
+                        )
+                        cur = out[f, pl.ds(t * wcap + c * WCOL, WCOL)].reshape(1, WCOL)
+                        out[f, pl.ds(t * wcap + c * WCOL, WCOL)] = jnp.where(
+                            valid, rolled, cur
+                        ).reshape(WCOL)
+                    return 0
+
+                jax.lax.fori_loop(0, jnp.where(ln > 0, nch, 0), dst_chunk, 0)
+                return 0
+
+            jax.lax.fori_loop(0, NIV, interval, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                       # sstart
+            pl.BlockSpec((1, NSUB, NIV, 3), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),                        # meta
+            pl.BlockSpec(memory_space=pltpu.ANY),                        # packed
+        ],
+        out_specs=pl.BlockSpec((nf, NSUB * wcap), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, nf, smax), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    nsub_total = capacity // SUB
+
+    def call(sstart, meta, packed):
+        meta_b = meta.reshape(nblocks, NSUB, NIV, 3)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nf, nsub_total * wcap), jnp.float32),
+            interpret=interpret,
+        )(sstart, meta_b, packed)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# Dense phase kernels
+# ---------------------------------------------------------------------------
+
+
+def _dense_phase(plan: Plan2Spec, capacity: int, nrow: int, ncand_arrays,
+                 nout: int, body_factory, interpret=False):
+    """Shared scaffolding: grid over blocks; per sub-block fori over its
+    compacted candidate chunks; rows pre-transposed to (nsub, SUB, nrow)."""
+    wcap = plan.wcap
+    nsub_total = capacity // SUB
+
+    def kernel(*refs):
+        nchunk = refs[0]
+        rows = refs[1]
+        cands = refs[2 : 2 + len(ncand_arrays)]
+        out = refs[2 + len(ncand_arrays)]
+        body = body_factory()
+        for t in range(NSUB):
+            body(t, nchunk, rows, cands, out, wcap)
+
+    in_specs = [
+        pl.BlockSpec((NSUB,), lambda b: (b,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((NSUB, SUB, nrow), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for ncf in ncand_arrays:
+        in_specs.append(
+            pl.BlockSpec((ncf, NSUB * wcap), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        )
+
+    def call(nchunk, rows, *cands):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(plan.nblocks,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((NSUB, SUB, nout), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nsub_total, SUB, nout), jnp.float32),
+            interpret=interpret,
+        )(nchunk, rows, *cands)
+
+    return call
+
+
+def make_lambda2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
+    """rows (nsub,SUB,4)=[psx,psy,psz,mass]; cands (3,*) pstar -> lam.
+    Reference `src/ocl/oclsph_kernel.h:95-123` (restructured, module doc)."""
+    p6f = np.float32(poly6_factor(h))
+    skf = np.float32(spiky_kernel_factor(h))
+    hh = np.float32(h * h)
+    hf = np.float32(h)
+    eps2 = np.float32(K.EPSILON) ** 2
+    rr = np.float32(K.RHO_RECIP)
+    cfm = np.float32(K.CFM_EPSILON)
+
+    def body_factory():
+        def body(t, nchunk, rows, cands, out, wcap):
+            (pc,) = cands
+            ax = rows[t, :, 0:1]
+            ay = rows[t, :, 1:2]
+            az = rows[t, :, 2:3]
+
+            def chunk(c, carry):
+                p6s, gx, gy, gz = carry
+                o = t * wcap + c * WCOL
+                bx = pc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                by = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bz = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                dx = ax - bx
+                dy = ay - by
+                dz = az - bz
+                r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, eps2)
+                u = jax.lax.rsqrt(r2)
+                tt = jnp.maximum(hh - r2, 0.0)
+                p6 = tt * tt * tt
+                t2 = jnp.maximum(hf - r2 * u, 0.0)
+                sg = t2 * t2 * u
+                return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
+
+            zero = jnp.zeros((SUB, WCOL), jnp.float32)
+            carry = jax.lax.fori_loop(0, nchunk[t], chunk, (zero, zero, zero, zero))
+            p6s = jnp.sum(carry[0], axis=1, keepdims=True)
+            gx = jnp.sum(carry[1], axis=1, keepdims=True)
+            gy = jnp.sum(carry[2], axis=1, keepdims=True)
+            gz = jnp.sum(carry[3], axis=1, keepdims=True)
+            mass = rows[t, :, 3:4]
+            rho = mass * (p6s * p6f)
+            c1 = skf * rr
+            norm2 = (gx * c1) ** 2 + (gy * c1) ** 2 + (gz * c1) ** 2
+            ci = rho * rr - 1.0
+            out[t, :, 0:1] = -ci / (norm2 + cfm)
+
+        return body
+
+    return _dense_phase(plan, capacity, 4, (3,), 1, body_factory, interpret)
+
+
+def make_delta2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
+    """rows (nsub,SUB,4)=[psx,psy,psz,lam_i]; cands pstar (3,*), lam (1,*)
+    -> dp (nsub,SUB,4) (col 3 zero).  Reference `oclsph_kernel.h:125-151`;
+    the per-iteration bounds clamp runs in the XLA caller."""
+    p6f = np.float32(poly6_factor(h))
+    skf = np.float32(spiky_kernel_factor(h))
+    hh = np.float32(h * h)
+    hf = np.float32(h)
+    eps2 = np.float32(K.EPSILON) ** 2
+    cdq = np.float32(K.CORR_DELTA_Q * h)
+    p6dq = np.float32(poly6_factor(h)) * (hh - cdq * cdq) ** 3
+    inv_p6dq = np.float32(p6f / p6dq)
+    corr_k = np.float32(-K.CORR_K)
+    rr = np.float32(K.RHO_RECIP)
+
+    def body_factory():
+        def body(t, nchunk, rows, cands, out, wcap):
+            pc, lc = cands
+            ax = rows[t, :, 0:1]
+            ay = rows[t, :, 1:2]
+            az = rows[t, :, 2:3]
+            alam = rows[t, :, 3:4]
+
+            def chunk(c, carry):
+                dxs, dys, dzs = carry
+                o = t * wcap + c * WCOL
+                bx = pc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                by = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bz = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                blam = lc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                dx = ax - bx
+                dy = ay - by
+                dz = az - bz
+                r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, eps2)
+                u = jax.lax.rsqrt(r2)
+                tt = jnp.maximum(hh - r2, 0.0)
+                xq = (tt * tt * tt) * inv_p6dq
+                x2 = xq * xq
+                factor = (alam + blam + corr_k * (x2 * x2)) * rr
+                t2 = jnp.maximum(hf - r2 * u, 0.0)
+                sg = (t2 * t2 * u) * skf * factor
+                return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
+
+            zero = jnp.zeros((SUB, WCOL), jnp.float32)
+            carry = jax.lax.fori_loop(0, nchunk[t], chunk, (zero, zero, zero))
+            out[t, :, 0:1] = jnp.sum(carry[0], axis=1, keepdims=True)
+            out[t, :, 1:2] = jnp.sum(carry[1], axis=1, keepdims=True)
+            out[t, :, 2:3] = jnp.sum(carry[2], axis=1, keepdims=True)
+            out[t, :, 3:4] = jnp.zeros((SUB, 1), jnp.float32)
+
+        return body
+
+    return _dense_phase(plan, capacity, 4, (3, 1), 4, body_factory, interpret)
+
+
+def make_diffuse2_call(plan: Plan2Spec, capacity: int, grid: GridSpec,
+                       interpret=False):
+    """rows (nsub,SUB,4)=[acl,0,0,0]; cands (8,*)=[cr,cg,cb,ca,w,bcl,0,0]
+    -> (nsub,SUB,8)=[sum_r,g,b,a,count,0,0,0].
+
+    Exact 27-cell adjacency via a two-level band test on the linear cell id
+    (reference `oclsph_kernel.h:67-93`): e = bcl - acl is accepted iff
+    min(||e|-nynz|, |e|) collapses into a band <= nz+1 whose residual
+    min(|g1-nz|, g1) <= 1.  The test is alias-free for all reachable states:
+    a false accept needs a pair spanning nearly a full grid axis inside one
+    stencil window, which the 2h bounds padding makes unpopulated.
+    `w` carries the reference's non-obstacle weight."""
+    nx, ny, nz = grid.dims
+    nynz = np.float32(ny * nz)
+    nzf = np.float32(nz)
+
+    def body_factory():
+        def body(t, nchunk, rows, cands, out, wcap):
+            (cc,) = cands
+            acl = rows[t, :, 0:1]
+
+            def chunk(c, carry):
+                sr, sg_, sb_, sa, cnt = carry
+                o = t * wcap + c * WCOL
+                cr = cc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                cg = cc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                cb = cc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                ca = cc[3, pl.ds(o, WCOL)].reshape(1, WCOL)
+                w = cc[4, pl.ds(o, WCOL)].reshape(1, WCOL)
+                bcl = cc[5, pl.ds(o, WCOL)].reshape(1, WCOL)
+                e = jnp.abs(bcl - acl)
+                g1 = jnp.minimum(jnp.abs(e - nynz), e)
+                g2 = jnp.minimum(jnp.abs(g1 - nzf), g1)
+                ww = jnp.where(g2 <= 1.0, w, 0.0)
+                return (
+                    sr + cr * ww, sg_ + cg * ww, sb_ + cb * ww,
+                    sa + ca * ww, cnt + ww,
+                )
+
+            zero = jnp.zeros((SUB, WCOL), jnp.float32)
+            carry = jax.lax.fori_loop(
+                0, nchunk[t], chunk, (zero, zero, zero, zero, zero)
+            )
+            for a in range(5):
+                out[t, :, a : a + 1] = jnp.sum(carry[a], axis=1, keepdims=True)
+            for a in range(5, 8):
+                out[t, :, a : a + 1] = jnp.zeros((SUB, 1), jnp.float32)
+
+        return body
+
+    return _dense_phase(plan, capacity, 4, (8,), 8, body_factory, interpret)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side phase wrappers
+# ---------------------------------------------------------------------------
+
+
+class PallasPhases2:
+    """Compacted-candidate phase pipeline for one static spec.
+
+    Per frame:
+        wins, ovf = phases.plan_frame(key, cell_table)
+        colour = phases.diffuse(wins, colour, cells, member, ptype, alive, dt)
+        for each iteration:
+            cands = phases.compact_pstar(wins, pstar)
+            lam   = phases.lambda_phase(wins, cands, pstar, mass, member, ...)
+            lamc  = phases.compact_lam(wins, lam)
+            pstar = phases.delta_phase(wins, cands, lamc, pstar, lam, ...)
+    """
+
+    def __init__(self, capacity: int, grid: GridSpec, h: float, smax: int,
+                 wcap: int, interpret: bool = False):
+        assert capacity % BLK == 0
+        if grid.ncells >= (1 << 24):
+            raise ValueError("pallas path requires < 2^24 grid cells (f32-exact ids)")
+        self.capacity = capacity
+        self.grid = grid
+        self.h = h
+        self.smax = smax
+        self.wcap = wcap
+        self.plan = Plan2Spec(nblocks=capacity // BLK, smax=smax, wcap=wcap)
+        self._compact3 = make_compact_call(self.plan, capacity, 3, interpret)
+        self._compact1 = make_compact_call(self.plan, capacity, 1, interpret)
+        self._compact8 = make_compact_call(self.plan, capacity, 8, interpret)
+        self._lambda = make_lambda2_call(self.plan, capacity, h, interpret)
+        self._delta = make_delta2_call(self.plan, capacity, h, interpret)
+        self._diffuse = make_diffuse2_call(self.plan, capacity, grid, interpret)
+
+    # -- plan -----------------------------------------------------------------
+
+    def plan_frame(self, sorted_key, cell_table):
+        return plan_compact(
+            sorted_key, cell_table, self.grid, self.capacity, self.smax, self.wcap
+        )
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _rows4(self, f0, f1, f2, f3):
+        r = jnp.stack([f0, f1, f2, f3], axis=-1)      # (C, 4)
+        return r.reshape(self.capacity // SUB, SUB, 4)
+
+    def _linear_id(self, cells, dtype):
+        nx, ny, nz = self.grid.dims
+        return ((cells[0] * ny + cells[1]) * nz + cells[2]).astype(dtype)
+
+    # -- phases ----------------------------------------------------------------
+
+    def compact_pstar(self, wins, pstar):
+        packed = jnp.stack([pstar[0], pstar[1], pstar[2]])
+        return self._compact3(wins["sstart"], wins["meta"], packed)
+
+    def compact_lam(self, wins, lam):
+        return self._compact1(wins["sstart"], wins["meta"], lam[None, :])
+
+    def lambda_phase(self, wins, cands, pstar, mass, member, ptype, alive):
+        from pbf_sph_tpu.core.types import FLUID
+
+        rows = self._rows4(pstar[0], pstar[1], pstar[2], mass)
+        lam = self._lambda(wins["nchunk"], rows, cands).reshape(self.capacity)
+        return jnp.where((ptype == FLUID) & alive & member, lam, 0.0)
+
+    def delta_phase(self, wins, cands, lamc, pstar, lam, member, ptype, alive,
+                    scale, min_bound, max_bound):
+        from pbf_sph_tpu.core.types import FLUID
+
+        rows = self._rows4(pstar[0], pstar[1], pstar[2], lam)
+        dp = self._delta(wins["nchunk"], rows, cands, lamc)
+        dp = dp.reshape(self.capacity, 4)
+        fluid = (ptype == FLUID) & alive & member
+        out = []
+        for a in range(3):
+            moved = (
+                jnp.clip((pstar[a] + dp[:, a]) * scale, min_bound[a], max_bound[a])
+                / scale
+            )
+            out.append(jnp.where(fluid, moved, pstar[a]))
+        return jnp.stack(out)
+
+    def diffuse(self, wins, colour, cells, member, ptype, alive, dt):
+        from pbf_sph_tpu.core.types import FLUID, OBSTACLE
+
+        dtype = colour.dtype
+        cl = self._linear_id(cells, dtype)
+        # blank non-member candidate ids so stale tail rows in the strips and
+        # the sentinel fill can never pass the band test
+        clb = jnp.where(member, cl, SENTINEL)
+        w = ((ptype != OBSTACLE) & alive & member).astype(dtype)
+        z = jnp.zeros_like(w)
+        packed = jnp.stack(
+            [colour[0], colour[1], colour[2], colour[3], w, clb, z, z]
+        )
+        cands = self._compact8(wins["sstart"], wins["meta"], packed)
+        rows = self._rows4(cl, z, z, z)
+        outs = self._diffuse(wins["nchunk"], rows, cands)
+        outs = outs.reshape(self.capacity, 8)
+        mixture = outs[:, :4]
+        cnt = outs[:, 4]
+        cnt_safe = jnp.maximum(cnt, 1.0)
+        upd = (ptype == FLUID) & alive & member & (cnt > 0.5)
+        rows_out = []
+        for a in range(4):
+            target = (mixture[:, a] / cnt_safe) * jnp.asarray(1.33, dtype)
+            mixed = colour[a] + (dt / jnp.asarray(750.0, dtype)) * (target - colour[a])
+            rows_out.append(jnp.where(upd, jnp.clip(mixed, 0.03, 1.0), colour[a]))
+        return jnp.stack(rows_out)

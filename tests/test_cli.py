@@ -24,6 +24,7 @@ def test_cli_numpy_backend(tmp_path, capsys):
     assert (tmp_path / "o_numpy_float_2" / "cloud.ply").exists()
 
 
+@pytest.mark.slow
 def test_cli_jax_backend_with_surface(capsys, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # the CLI always saves (reference behaviour)
     rc = cli.main(["--impl", "jax", "--count", "1200", "--iter", "1", "--warmup", "0"])

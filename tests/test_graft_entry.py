@@ -3,6 +3,8 @@
 import importlib.util
 from pathlib import Path
 
+import pytest
+
 
 def _load():
     path = Path(__file__).resolve().parents[1] / "__graft_entry__.py"
@@ -20,6 +22,7 @@ def test_entry_traces():
     jax.jit(fn).lower(*args)  # trace + lower the full surface step
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     m = _load()
     m.dryrun_multichip(8)

@@ -35,24 +35,28 @@ def assert_state_close(xs_j, xs_n, pos_atol=0.05, vel_atol=0.05, col_atol=1e-3):
     np.testing.assert_allclose(xs_j.colour, xs_n.colour, atol=col_atol, rtol=0)
 
 
+@pytest.mark.slow
 def test_single_frame_parity():
     mc, cfg, particles = simple_config_with_2_cubes(2000, 3, 500.0)
     (rj, xj), (rn, xn) = run_both(cfg, Scene(), particles, frames=1)
     assert_state_close(xj, xn, pos_atol=0.02, vel_atol=0.02)
 
 
+@pytest.mark.slow
 def test_three_frame_parity():
     mc, cfg, particles = simple_config_with_2_cubes(2000, 3, 500.0)
     (rj, xj), (rn, xn) = run_both(cfg, Scene(), particles, frames=3)
     assert_state_close(xj, xn, pos_atol=0.2, vel_atol=0.5, col_atol=5e-3)
 
 
+@pytest.mark.slow
 def test_six_iteration_parity():
     mc, cfg, particles = simple_config_with_2_cubes(2000, 6, 500.0)
     (rj, xj), (rn, xn) = run_both(cfg, Scene(), particles, frames=1)
     assert_state_close(xj, xn, pos_atol=0.05, vel_atol=0.1)
 
 
+@pytest.mark.slow
 def test_density_parity():
     """BASELINE.md fidelity criterion: per-particle densities of the two
     backends agree within fp32 tolerance on identical ICs."""
@@ -90,6 +94,7 @@ def test_density_parity():
     np.testing.assert_allclose(rho_j, rho_n, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_scene_parity():
     mc, cfg, particles = simple_config_with_2_cubes(1000, 3, 500.0)
     scene = Scene(
@@ -118,6 +123,7 @@ def test_scene_parity():
     assert set(rj.queries[0].neighbours.tolist()) == set(rn.queries[0].neighbours.tolist())
 
 
+@pytest.mark.slow
 def test_mesh_parity():
     mc, cfg, particles = simple_config_with_2_cubes(2000, 3, 500.0)
     cfg = cfg.replace(surface=mc)

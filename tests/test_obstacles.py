@@ -7,6 +7,7 @@ as neighbours in the density sums — `src/ocl/oclsph.cpp:64-69`,
 """
 
 import numpy as np
+import pytest
 
 from pbf_sph_tpu.core.scene import simple_config_with_2_cubes
 from pbf_sph_tpu.core.types import OBSTACLE, ParticleSoA, Scene
@@ -32,6 +33,7 @@ def with_obstacle_floor(particles, cfg):
     return ParticleSoA.concat([particles, floor])
 
 
+@pytest.mark.slow
 def test_obstacles_static_and_parity():
     mc, cfg, particles = simple_config_with_2_cubes(1000, 3, 500.0)
     xs0 = with_obstacle_floor(particles, cfg)

@@ -35,6 +35,7 @@ def run_single(cfg, particles, frames):
 
 
 @pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.slow
 def test_sharded_matches_single(n_dev):
     mc, cfg, particles = dam_break(1200, solver_iter=3)
     xs_m, stats = run_sharded(cfg, particles, n_dev, frames=2)
@@ -50,6 +51,7 @@ def test_sharded_matches_single(n_dev):
     np.testing.assert_allclose(a.colour, b.colour, atol=2e-3, rtol=0)
 
 
+@pytest.mark.slow
 def test_sharded_conserves_particles_under_motion():
     from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
 

@@ -2,6 +2,7 @@
 functions, different jit boundaries) and produce the reference-format table."""
 
 import numpy as np
+import pytest
 
 from pbf_sph_tpu.core.scene import simple_config_with_2_cubes
 from pbf_sph_tpu.core.types import Scene
@@ -9,6 +10,7 @@ from pbf_sph_tpu.models.jax_solver import JaxSolver
 from pbf_sph_tpu.models.timed import advance_timed
 
 
+@pytest.mark.slow
 def test_timed_matches_fused():
     mc, cfg, xs = simple_config_with_2_cubes(1000, 2, 500.0)
     solver = JaxSolver(h=cfg.h)
@@ -26,6 +28,7 @@ def test_timed_matches_fused():
         assert name in table
 
 
+@pytest.mark.slow
 def test_fp64_backend():
     import jax
 
