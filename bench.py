@@ -47,13 +47,15 @@ def main() -> int:
     import dataclasses
 
     for _round in range(4):
-        occs, ovfs = [], []
+        occs, ovfs, wovfs = [], [], []
         for _ in range(warmup):
             state, out = solver.step_device(spec, state, dyn, scn)
             occs.append(out["max_occupancy"])
             ovfs.append(out["strip_overflow"])
+            wovfs.append(out.get("wcap_overflow", 0))
         occ = int(max(int(o) for o in occs))
         ovf = int(max(int(o) for o in ovfs))
+        wovf = int(max(int(o) for o in wovfs))
         changes = {}
         if occ > spec.cell_capacity:
             changes["cell_capacity"] = -(-occ // 16) * 16 + 16
@@ -61,6 +63,14 @@ def main() -> int:
             from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
             changes["strip_capacity"] = grown_strip_capacity(spec, ovf)
+        if wovf > 0:
+            from pbf_sph_tpu.ops.pallas_pbf2 import default_wcap, grown_wcap
+
+            new_w = grown_wcap(spec.wcap or default_wcap(), wovf)
+            if new_w == (spec.wcap or default_wcap()):
+                changes["pallas_v2"] = False  # capped; use v1 strip kernels
+            else:
+                changes["wcap"] = new_w
         if not changes:
             break
         print(f"# growing: {changes}", file=sys.stderr)

@@ -82,6 +82,12 @@ class StepSpec:
     # Pallas strip-buffer capacity (columns); 0 = auto.  Grown on
     # strip_overflow like cell_capacity is grown on occupancy.
     strip_capacity: int = 0
+    # v2 compacted-candidate kernels (ops/pallas_pbf2.py): per-sub-block
+    # candidate slab capacity; 0 = auto.  Grown on wcap_overflow.
+    wcap: int = 0
+    # False selects the round-1 strip-window kernels (kept as a fallback and
+    # for A/B benchmarking).
+    pallas_v2: bool = True
     # Pallas MC field kernel: node blocks can span x-slab boundaries, where
     # strips may legitimately exceed any VMEM-safe capacity; when MC strip
     # overflow persists at the cap, fall back to the XLA field for this spec.
@@ -253,6 +259,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
     K = spec.cell_capacity
 
     phases = None
+    phases2 = None
     if use_pallas:
         from pbf_sph_tpu.ops import pallas_pbf
 
@@ -264,16 +271,24 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         )
         smax = min(-(-smax // 128) * 128, spec.capacity)
         interp = jax.default_backend() == "cpu"
-        phases = pallas_pbf.PallasPhases(
-            spec.capacity, spec.grid, spec.h, smax, interpret=interp
-        )
+        if spec.pallas_v2:
+            from pbf_sph_tpu.ops import pallas_pbf2
+
+            wcap = spec.wcap or pallas_pbf2.default_wcap()
+            phases2 = pallas_pbf2.PallasPhases2(
+                spec.capacity, spec.grid, spec.h, smax, wcap, interpret=interp
+            )
+        else:
+            phases = pallas_pbf.PallasPhases(
+                spec.capacity, spec.grid, spec.h, smax, interpret=interp
+            )
 
     mc_field_pallas = None
     MC_SMAX_CAP = 16384  # VMEM-safe strip bound for the node kernel
     if use_pallas and spec.surface is not None and spec.mc_pallas:
         from pbf_sph_tpu.ops.pallas_mc import PallasMcField
 
-        mc_smax = min(max(phases.smax, 8192), MC_SMAX_CAP, spec.capacity)
+        mc_smax = min(max(smax, 8192), MC_SMAX_CAP, spec.capacity)
         mc_field_pallas = PallasMcField(
             spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
             spec.surface.influence_static, mc_smax, interpret=interp,
@@ -359,7 +374,25 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         )
 
         strip_overflow = jnp.asarray(0, jnp.int32)
-        if phases is None:
+        wcap_overflow = jnp.asarray(0, jnp.int32)
+        if phases2 is not None:
+            wins2, ovf2 = phases2.plan_frame(key, cell_table)
+            strip_overflow = ovf2["strip_overflow"]
+            wcap_overflow = ovf2["wcap_overflow"]
+            colour = phases2.diffuse(
+                wins2, state.colour, cells, member, state.ptype, state.alive, dt
+            )
+            for _ in range(spec.iteration):
+                cands = phases2.compact_pstar(wins2, pstar, member)
+                lam = phases2.lambda_phase(
+                    wins2, cands, pstar, state.mass, member, state.ptype, state.alive
+                )
+                lamc = phases2.compact_lam(wins2, lam)
+                pstar = phases2.delta_phase(
+                    wins2, cands, lamc, pstar, lam, member, state.ptype, state.alive,
+                    scale, min_bound, max_bound,
+                )
+        elif phases is None:
             ranges = stencil_ranges(cells, member, cell_table, spec.grid)
 
             # 8. colour diffusion
@@ -400,6 +433,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             spawn_dropped=spawn_dropped,
             extent_ok=extent_ok,
             strip_overflow=strip_overflow,
+            wcap_overflow=wcap_overflow,
             mc_strip_overflow=jnp.asarray(0, jnp.int32),
             query_ids=q_ids,
             query_counts=q_counts,
@@ -563,12 +597,14 @@ class JaxSolver(Solver):
             occ = int(out["max_occupancy"])
             tri_count = int(out["tri_count"]) if spec.surface is not None else 0
             strip_ovf = int(out["strip_overflow"])
+            wcap_ovf = int(out["wcap_overflow"])
             mc_ovf = int(out["mc_strip_overflow"])
             need_k = occ > spec.cell_capacity
             need_t = spec.surface is not None and tri_count > spec.surface.tri_capacity
             need_s = strip_ovf > 0
+            need_w = wcap_ovf > 0
             need_mc = mc_ovf > 0 and spec.mc_pallas
-            if not (need_k or need_t or need_s or need_mc):
+            if not (need_k or need_t or need_s or need_w or need_mc):
                 break
             # grow and re-run the frame under a larger spec (rare recompile)
             new_k = spec.cell_capacity
@@ -585,6 +621,19 @@ class JaxSolver(Solver):
                 from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
                 new_s = grown_strip_capacity(spec, strip_ovf)
+            new_w = spec.wcap
+            pallas_v2 = spec.pallas_v2
+            if need_w:
+                from pbf_sph_tpu.ops.pallas_pbf2 import (
+                    WCAP_MAX, default_wcap, grown_wcap,
+                )
+
+                new_w = grown_wcap(spec.wcap or default_wcap(), wcap_ovf)
+                if new_w == (spec.wcap or default_wcap()):
+                    # wcap is pinned at the VMEM-safe cap and still overflows:
+                    # fall back to the v1 strip-window kernels for this run
+                    assert new_w == WCAP_MAX
+                    pallas_v2 = False
             mc_pallas = spec.mc_pallas
             if need_mc:
                 if max(new_s, spec.strip_capacity, 8192) < 16384:
@@ -593,7 +642,7 @@ class JaxSolver(Solver):
                     mc_pallas = False  # fall back to the XLA MC field
             spec = dataclasses.replace(
                 spec, cell_capacity=new_k, surface=surface, strip_capacity=new_s,
-                mc_pallas=mc_pallas,
+                wcap=new_w, mc_pallas=mc_pallas, pallas_v2=pallas_v2,
             )
         else:
             raise RuntimeError("capacity growth did not converge")

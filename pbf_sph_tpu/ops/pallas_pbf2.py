@@ -15,18 +15,22 @@ v2 factors the frame differently:
      dx-strip the three dy-intervals are clipped against each other, so the
      union is covered exactly once — no duplicate pairs by construction).
   2. A *compaction kernel* (once per field-group per solver iteration) DMAs
-     the 3 dx-strips like v1, but only to copy each sub-block's intervals
-     back-to-back into a dense (F, nsub*WCAP) HBM array using dynamic lane
-     rotates.  Unwritten tail lanes are filled with a finite +1e9 sentinel
-     (every field: uninitialised VMEM scratch may hold NaNs, and NaN
-     poisons jnp.maximum-based range tests).
+     the 3 dx-strips like v1, then copies each interval's covering
+     128-aligned chunks verbatim into PRIVATE destination chunks of a dense
+     (F, nsub*WCAP) HBM slab — an indexed chunk copy with no lane rotates
+     (measured ~150 ns each on v5e — hopeless), no read-modify-writes and no
+     masks.  The head/tail lanes spilled into a private chunk are real
+     particles from cells just outside the interval, which the consuming
+     kernels' own adjacency tests reject (below).
   3. Dense `lambda`/`delta`/`diffuse` kernels read the compacted candidates
-     with plain BlockSpec pipelining — no manual DMA, no window masks.  A
-     compacted candidate is always a member of the sub-block's merged
-     stencil, so for lambda/delta validity needs only the reference's own
-     r-tests (any pair >= 2 cells apart is strictly > h away since cells are
-     h-sized); diffuse (no distance cutoff in the reference) carries the
-     linear cell id and uses a two-level band test.
+     with plain BlockSpec pipelining — no manual DMA, no window masks.
+     Validity of every slab lane is geometric: a slab lane is either (a) a
+     true merged-stencil member, (b) a particle from a cell >= 2 cells away
+     along the sort axis (interval head/tail spill) — strictly > h away
+     since cells are h-sized, so the reference's own r <= h test (lambda/
+     delta) or the exact cell-band test (diffuse) rejects it — or (c) a
+     non-member slot, whose packed position is blanked to +1e9 by the XLA
+     caller.
 
 Pair math is restructured (same values up to fp rounding; reference
 `src/ocl/oclsph_kernel.h:95-162`):
@@ -38,11 +42,6 @@ Pair math is restructured (same values up to fp rounding; reference
     (r < 1e-8, physically excluded by the solver) would contribute O(h^2)
     instead of the reference's 0 — a documented divergence far below fp32
     test tolerance.
-
-Degenerate grids where one block's three dx-strips overlap (tiny scenes
-whose blocks span most of the domain) break the no-duplicate argument;
-`plan_compact` reports `strip_overlap` and the solver falls back to the v1
-kernels.
 
 Fidelity: reference math `src/ocl/oclsph_kernel.h:67-162` (diffuse constants
 1.33 / dt/750, lambda CFM, delta s-corr + in-iteration bounds clamp — clamp
@@ -67,7 +66,13 @@ BLK = 1024          # rows per grid step (block)
 SUB = 32            # rows per sub-block (one compacted candidate slab each)
 NSUB = BLK // SUB
 WCOL = 128          # lane count
-NIV = 9             # max disjoint source intervals per sub-block
+NPIECES = 4         # gap-split pieces per sub-block (top NPIECES-1 cell gaps)
+NIV = 9 * NPIECES   # stencil intervals per sub-block after gap splitting
+# Hard VMEM bound on the candidate slab: the compact/dense kernels' VMEM
+# blocks scale with wcap (out block ~ 2 * nf * NSUB * wcap * 4B), so growth
+# beyond this must fall back to the v1 strip-window kernels instead of
+# recompiling toward a scoped-vmem OOM.
+WCAP_MAX = 5120
 SENTINEL = np.float32(1.0e9)
 
 
@@ -79,13 +84,15 @@ class Plan2Spec:
 
 
 def default_wcap() -> int:
-    # windows ~9*(SUB + 3*occ) at occupancy ~6.4 -> ~460; 1.5x headroom
-    return 768
+    # dam-break 1M frame-0 need is 12-19 chunks/sub-block (tools/analyze_wcap);
+    # start above that so the common case avoids a growth recompile, growth
+    # (capped at WCAP_MAX) handles compression spikes
+    return 2560
 
 
 def grown_wcap(wcap: int, overflow: int) -> int:
     need = wcap + int(overflow)
-    return -(-need // 128) * 128 + 128
+    return min(-(-need // 128) * 128 + 128, WCAP_MAX)
 
 
 def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
@@ -94,10 +101,10 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
 
     Returns (wins, overflows):
       wins = dict(
-        meta   (nsub, NIV, 3) int32: (strip_id, src_rel_lo, dst*65536+len),
-        nchunk (nsub,) int32: ceil(Wtot/128) dst chunks per sub-block,
+        meta   (nsub, wcap//128) int32: per dst chunk, strip*8192 + src_chunk,
+        nchunk (nsub,) int32: dst chunks per sub-block,
         sstart (nblocks, 3) int32: 128-aligned strip start columns)
-      overflows = dict(strip_overflow, wcap_overflow, strip_overlap) int32
+      overflows = dict(strip_overflow, wcap_overflow) int32
     """
     C = capacity
     assert C % BLK == 0
@@ -116,6 +123,7 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     # per-block strip starts (128-aligned) + strip content ranges
     cmin_b = cmin.reshape(nblocks, NSUB)[:, 0]
     cmax_b = cmax.reshape(nblocks, NSUB)[:, -1]
+    nsub = cmin.shape[0]
     sstarts, sends = [], []
     for dx in (-1, 0, 1):
         lo_cell = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
@@ -126,63 +134,117 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     send = jnp.stack(sends, axis=1).astype(jnp.int32)
     sstart_al = (sstart // WCOL) * WCOL
     sstart_al = jnp.minimum(sstart_al, max(C - smax, 0)).astype(jnp.int32)
-    # each particle must be copied at most once: strip content ranges disjoint
-    ov01 = jnp.maximum(send[:, 0] - sstart[:, 1], 0)
-    ov12 = jnp.maximum(send[:, 1] - sstart[:, 2], 0)
-    strip_overlap = jnp.max(jnp.maximum(ov01, ov12)).astype(jnp.int32)
     strip_overflow = jnp.maximum(jnp.max(send - sstart_al) - smax, 0).astype(jnp.int32)
 
-    # 9 raw intervals per sub-block (dx-strip major, dy minor)
-    los, his = [], []
+    # Gap-split each sub-block's sorted cell range into NPIECES pieces at its
+    # top NPIECES-1 cell-id gaps.  The convex hull [cmin+off, cmax+off] alone
+    # blows up when a sub-block straddles a z-row or x-plane boundary in the
+    # settled (irregular-surface) state: the shifted hull then lands mid-row /
+    # mid-plane and covers an entire dense row (~nz*occ columns) or plane
+    # (~ny*nz*occ) of real particles per interval — the round-2 VMEM OOM.
+    # Pieces track the straddle structure, so each shifted piece covers only
+    # its own small image.  Dense sub-blocks have zero-gaps and degenerate
+    # pieces, which the dedup chain below collapses for free.
+    linr = lin[: nsub * SUB].reshape(nsub, SUB)
+    gaps = linr[:, 1:] - linr[:, :-1]                        # (nsub, SUB-1)
+    _, gidx = jax.lax.top_k(gaps, NPIECES - 1)               # (nsub, NPIECES-1)
+    gidx = jnp.sort(gidx, axis=1)
+    starts = jnp.concatenate(
+        [jnp.zeros((nsub, 1), gidx.dtype), gidx + 1], axis=1
+    )                                                        # (nsub, NPIECES)
+    ends = jnp.concatenate(
+        [gidx, jnp.full((nsub, 1), SUB - 1, gidx.dtype)], axis=1
+    )
+    pmin = jnp.take_along_axis(linr, starts, axis=1)         # (nsub, NPIECES)
+    pmax = jnp.take_along_axis(linr, ends, axis=1)
+
+    # NIV raw intervals per sub-block (piece x stencil offset)
+    los, his, strips = [], [], []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             off = dx * nynz + dy * nz
-            lo_cell = jnp.clip(cmin + off - 1, 0, ncells)
-            hi_cell = jnp.clip(cmax + off + 2, 0, ncells)
-            los.append(cell_table[lo_cell])
-            his.append(cell_table[hi_cell])
-    lo = jnp.stack(los, axis=1)             # (nsub, 9) absolute columns
+            for g in range(NPIECES):
+                lo_cell = jnp.clip(pmin[:, g] + off - 1, 0, ncells)
+                hi_cell = jnp.clip(pmax[:, g] + off + 2, 0, ncells)
+                los.append(cell_table[lo_cell])
+                his.append(cell_table[hi_cell])
+                strips.append(dx + 1)
+    lo = jnp.stack(los, axis=1)             # (nsub, NIV) absolute columns
     hi = jnp.stack(his, axis=1)
+    strip_of = jnp.broadcast_to(
+        jnp.asarray(strips, jnp.int32)[None, :], lo.shape
+    )
 
-    # clip each dy-interval against the running end of previous ones in its
-    # strip -> disjoint intervals covering the union exactly once
+    # Sort intervals by lo per sub-block so the running-max clip below yields
+    # DISJOINT intervals covering the union exactly once: for monotone los,
+    # anything clipped off interval i ([lo_i, rh)) lies inside the earlier
+    # interval whose hi achieved rh.  (The unsplit 9-interval scheme had los
+    # monotone by construction; gap-split pieces need the explicit sort.)
+    order = jnp.argsort(lo, axis=1)
+    lo = jnp.take_along_axis(lo, order, axis=1)
+    hi = jnp.take_along_axis(hi, order, axis=1)
+    strip_of = jnp.take_along_axis(strip_of, order, axis=1)
+
     parts_lo, parts_len = [], []
-    for s in range(3):
-        rh = None
-        for d in range(3):
-            l, h_ = lo[:, 3 * s + d], hi[:, 3 * s + d]
-            al = l if rh is None else jnp.maximum(l, rh)
-            parts_lo.append(al)
-            parts_len.append(jnp.maximum(h_ - al, 0))
-            rh = h_ if rh is None else jnp.maximum(rh, h_)
-    ilo = jnp.stack(parts_lo, axis=1)       # (nsub, 9)
+    rh = None
+    for i in range(NIV):
+        l, h_ = lo[:, i], hi[:, i]
+        al = l if rh is None else jnp.maximum(l, rh)
+        parts_lo.append(al)
+        parts_len.append(jnp.maximum(h_ - al, 0))
+        rh = h_ if rh is None else jnp.maximum(rh, h_)
+    ilo = jnp.stack(parts_lo, axis=1)       # (nsub, NIV)
     ilen = jnp.stack(parts_len, axis=1)
 
-    strip_of = np.repeat(np.arange(3, dtype=np.int32), 3)   # (9,)
-    base = jnp.take(
-        jnp.repeat(sstart_al, NSUB, axis=0), jnp.asarray(strip_of), axis=1
-    )                                                       # (nsub, 9)
-    rel_lo = jnp.clip(ilo - base, 0, smax - 1)
-    dst = jnp.cumsum(ilen, axis=1) - ilen   # exclusive prefix per sub-block
-    wtot = dst[:, -1] + ilen[:, -1]
-    wcap_overflow = jnp.maximum(jnp.max(wtot) - wcap, 0).astype(jnp.int32)
-    dst = jnp.minimum(dst, wcap - 1)
-    ilen = jnp.minimum(ilen, jnp.maximum(wcap - dst, 0))
+    base = jnp.take_along_axis(
+        jnp.repeat(sstart_al, NSUB, axis=0), strip_of, axis=1
+    )                                                       # (nsub, NIV)
 
-    meta = jnp.stack(
-        [
-            jnp.broadcast_to(jnp.asarray(strip_of)[None, :], ilo.shape),
-            rel_lo,
-            dst * 65536 + ilen,
-        ],
-        axis=-1,
-    ).astype(jnp.int32)                     # (nsub, 9, 3)
-    nchunk = ((jnp.minimum(wtot, wcap) + WCOL - 1) // WCOL).astype(jnp.int32)
-    wins = dict(meta=meta, nchunk=nchunk, sstart=sstart_al)
+    # Private-chunk placement: each interval is copied as the 128-aligned
+    # source chunks covering it, into that many PRIVATE destination chunks —
+    # lane-phase-preserving copies, no rotates.  Covering chunks of adjacent
+    # intervals can overlap (gap < 128 columns), which would duplicate true
+    # candidates; dedup with the same running-max chain on ABSOLUTE chunk
+    # indices (strip starts are 128-aligned, so buffer chunks == absolute
+    # chunks and the dedup is valid across strips too).
+    a = ilo // WCOL                                          # (nsub, NIV)
+    bnd = jnp.where(ilen > 0, (ilo + ilen - 1) // WCOL + 1, a)
+    parts_a, parts_k = [], []
+    prev_end = None
+    for i in range(NIV):
+        ai, bi, li = a[:, i], bnd[:, i], ilen[:, i]
+        ai2 = ai if prev_end is None else jnp.maximum(ai, prev_end)
+        ki = jnp.where(li > 0, jnp.maximum(bi - ai2, 0), 0)
+        parts_a.append(ai2)
+        parts_k.append(ki)
+        pe = jnp.where(li > 0, bi, 0 if prev_end is None else prev_end)
+        prev_end = pe if prev_end is None else jnp.maximum(prev_end, pe)
+    srcc0_abs = jnp.stack(parts_a, axis=1)                   # (nsub, NIV)
+    k = jnp.stack(parts_k, axis=1)
+    srcc0 = srcc0_abs - base // WCOL                         # strip-relative
+
+    dstc0 = jnp.cumsum(k, axis=1) - k                        # (nsub, NIV)
+    nchunk = (dstc0[:, -1] + k[:, -1]).astype(jnp.int32)     # (nsub,)
+    cmax_chunks = wcap // WCOL
+    wcap_overflow = jnp.maximum(jnp.max(nchunk) - cmax_chunks, 0).astype(jnp.int32) * WCOL
+    nchunk = jnp.minimum(nchunk, cmax_chunks)
+
+    # flat per-dst-chunk source map: chunkmeta[t, j] = strip*8192 + src_chunk
+    j_idx = jnp.arange(cmax_chunks, dtype=jnp.int32)[None, None, :]  # (1,1,J)
+    started = (dstc0[:, :, None] <= j_idx) & (k[:, :, None] > 0)     # (nsub,NIV,J)
+    ivals = jnp.arange(NIV, dtype=jnp.int32)[None, :, None]
+    i_of_j = jnp.maximum(jnp.max(jnp.where(started, ivals, -1), axis=1), 0)
+    pick = jax.nn.one_hot(i_of_j, NIV, axis=1, dtype=jnp.int32)      # (nsub,NIV,J)
+    srcc0_j = jnp.sum(srcc0[:, :, None] * pick, axis=1)
+    dstc0_j = jnp.sum(dstc0[:, :, None] * pick, axis=1)
+    strip_j = jnp.sum(strip_of[:, :, None] * pick, axis=1)
+    src_chunk = jnp.clip(srcc0_j + (j_idx[:, 0] - dstc0_j), 0, smax // WCOL - 1)
+    chunkmeta = (strip_j * 8192 + src_chunk).astype(jnp.int32)       # (nsub, J)
+
+    wins = dict(meta=chunkmeta, nchunk=nchunk, sstart=sstart_al)
     overflows = dict(
         strip_overflow=strip_overflow,
         wcap_overflow=wcap_overflow,
-        strip_overlap=strip_overlap,
     )
     return wins, overflows
 
@@ -211,14 +273,20 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
     """Compact nf fields from the sorted particle array into dense per-sub-
     block candidate slabs: (nf, C) -> (nf, (C//SUB) * WCAP).
 
-    All fields' unwritten tail lanes are set to the finite SENTINEL."""
+    Pure indexed chunk copy: slab chunk j of sub-block t is strip chunk
+    `meta[t, j] % 8192` of strip `meta[t, j] // 8192`, verbatim.  No rotates,
+    no read-modify-writes, no masks (see module docstring for why spilled
+    head/tail lanes are safe)."""
     smax = plan.smax
     wcap = plan.wcap
     nblocks = plan.nblocks
-    nwc = wcap // WCOL
+    cmax_chunks = wcap // WCOL
     assert wcap % WCOL == 0
+    # Mosaic requires the (fields, smax) strip slice's leading dim aligned to
+    # the sublane tile (4 for f32 here); pad the DMA'd field count
+    nf_dma = -(-nf // 4) * 4
 
-    def kernel(sstart, meta, p_any, out, sbuf, sems):
+    def kernel(sstart, meta, nchunk, p_any, out, sbuf, sems):
         b = pl.program_id(0)
         slot = jax.lax.rem(b, 2)
 
@@ -233,79 +301,52 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
 
         _wait_strips(p_any, sbuf, sems, slot, smax)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WCOL), 1)
-        fill = jnp.full((WCOL,), SENTINEL, jnp.float32)
-
         for t in range(NSUB):  # static
-            for f in range(nf):
-                for c in range(nwc):
-                    out[f, pl.ds(t * wcap + c * WCOL, WCOL)] = fill
 
-            def interval(i, _):
-                strip = meta[0, t, i, 0]
-                rel_lo = meta[0, t, i, 1]
-                dl = meta[0, t, i, 2]
-                dst = dl // 65536
-                ln = dl - dst * 65536
-
-                c0 = dst // WCOL
-                nch = (dst + ln - c0 * WCOL + WCOL - 1) // WCOL
-
-                def dst_chunk(ci, _):
-                    c = c0 + ci
-                    # source columns for dst lanes [c*128, c*128+128)
-                    s0 = c * WCOL - dst + rel_lo
-                    r = jax.lax.rem(s0 + 2 * smax, WCOL)    # nonneg mod
-                    bse = s0 - r
-                    ba = jnp.clip(bse, 0, smax - WCOL)
-                    bb = jnp.clip(bse + WCOL, 0, smax - WCOL)
-                    dcol = c * WCOL + lane
-                    valid = (dcol >= dst) & (dcol < dst + ln)
-                    sel = lane < (WCOL - r)
-                    for f in range(nf):
-                        A = sbuf[slot, strip, f, pl.ds(ba, WCOL)].reshape(1, WCOL)
-                        B = sbuf[slot, strip, f, pl.ds(bb, WCOL)].reshape(1, WCOL)
-                        rolled = jnp.where(
-                            sel, pltpu.roll(A, WCOL - r, 1), pltpu.roll(B, WCOL - r, 1)
-                        )
-                        cur = out[f, pl.ds(t * wcap + c * WCOL, WCOL)].reshape(1, WCOL)
-                        out[f, pl.ds(t * wcap + c * WCOL, WCOL)] = jnp.where(
-                            valid, rolled, cur
-                        ).reshape(WCOL)
-                    return 0
-
-                jax.lax.fori_loop(0, jnp.where(ln > 0, nch, 0), dst_chunk, 0)
+            def copy_chunk(j, _):
+                m = meta[0, 0, t, j]
+                strip = m // 8192
+                sc = pl.multiple_of((m - strip * 8192) * WCOL, WCOL)
+                d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
+                for f in range(nf):
+                    out[f, pl.ds(d, WCOL)] = sbuf[slot, strip, f, pl.ds(sc, WCOL)]
                 return 0
 
-            jax.lax.fori_loop(0, NIV, interval, 0)
+            jax.lax.fori_loop(0, nchunk[0, 0, t], copy_chunk, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                       # sstart
-            pl.BlockSpec((1, NSUB, NIV, 3), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, NSUB, cmax_chunks), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.SMEM),                        # meta
+            pl.BlockSpec((1, 1, NSUB), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                        # nchunk
             pl.BlockSpec(memory_space=pltpu.ANY),                        # packed
         ],
         out_specs=pl.BlockSpec((nf, NSUB * wcap), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, nf, smax), jnp.float32),
+            pltpu.VMEM((2, 3, nf_dma, smax), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
     nsub_total = capacity // SUB
 
-    def call(sstart, meta, packed):
-        meta_b = meta.reshape(nblocks, NSUB, NIV, 3)
+    def call(sstart, meta, nchunk, packed):
+        meta_b = meta.reshape(nblocks, 1, NSUB, cmax_chunks)
+        nchunk_b = nchunk.reshape(nblocks, 1, NSUB)
+        if nf_dma != nf:
+            pad = jnp.zeros((nf_dma - nf, packed.shape[1]), packed.dtype)
+            packed = jnp.concatenate([packed, pad])
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nf, nsub_total * wcap), jnp.float32),
             interpret=interpret,
-        )(sstart, meta_b, packed)
+        )(sstart, meta_b, nchunk_b, packed)
 
     return call
 
@@ -332,7 +373,7 @@ def _dense_phase(plan: Plan2Spec, capacity: int, nrow: int, ncand_arrays,
             body(t, nchunk, rows, cands, out, wcap)
 
     in_specs = [
-        pl.BlockSpec((NSUB,), lambda b: (b,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, NSUB), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((NSUB, SUB, nrow), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -343,6 +384,7 @@ def _dense_phase(plan: Plan2Spec, capacity: int, nrow: int, ncand_arrays,
         )
 
     def call(nchunk, rows, *cands):
+        nchunk = nchunk.reshape(plan.nblocks, 1, NSUB)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -395,7 +437,7 @@ def make_lambda2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False)
                 return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
 
             zero = jnp.zeros((SUB, WCOL), jnp.float32)
-            carry = jax.lax.fori_loop(0, nchunk[t], chunk, (zero, zero, zero, zero))
+            carry = jax.lax.fori_loop(0, nchunk[0, 0, t], chunk, (zero, zero, zero, zero))
             p6s = jnp.sum(carry[0], axis=1, keepdims=True)
             gx = jnp.sum(carry[1], axis=1, keepdims=True)
             gy = jnp.sum(carry[2], axis=1, keepdims=True)
@@ -456,7 +498,7 @@ def make_delta2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
                 return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
 
             zero = jnp.zeros((SUB, WCOL), jnp.float32)
-            carry = jax.lax.fori_loop(0, nchunk[t], chunk, (zero, zero, zero))
+            carry = jax.lax.fori_loop(0, nchunk[0, 0, t], chunk, (zero, zero, zero))
             out[t, :, 0:1] = jnp.sum(carry[0], axis=1, keepdims=True)
             out[t, :, 1:2] = jnp.sum(carry[1], axis=1, keepdims=True)
             out[t, :, 2:3] = jnp.sum(carry[2], axis=1, keepdims=True)
@@ -508,7 +550,7 @@ def make_diffuse2_call(plan: Plan2Spec, capacity: int, grid: GridSpec,
 
             zero = jnp.zeros((SUB, WCOL), jnp.float32)
             carry = jax.lax.fori_loop(
-                0, nchunk[t], chunk, (zero, zero, zero, zero, zero)
+                0, nchunk[0, 0, t], chunk, (zero, zero, zero, zero, zero)
             )
             for a in range(5):
                 out[t, :, a : a + 1] = jnp.sum(carry[a], axis=1, keepdims=True)
@@ -575,12 +617,16 @@ class PallasPhases2:
 
     # -- phases ----------------------------------------------------------------
 
-    def compact_pstar(self, wins, pstar):
-        packed = jnp.stack([pstar[0], pstar[1], pstar[2]])
-        return self._compact3(wins["sstart"], wins["meta"], packed)
+    def compact_pstar(self, wins, pstar, member):
+        # blank non-member slots (sorted tail): dead slots sit at the origin,
+        # which maps to a real interior cell — without blanking they would
+        # pass the r-test for rows near the domain corner
+        blank = jnp.where(member, pstar[0], SENTINEL)
+        packed = jnp.stack([blank, pstar[1], pstar[2]])
+        return self._compact3(wins["sstart"], wins["meta"], wins["nchunk"], packed)
 
     def compact_lam(self, wins, lam):
-        return self._compact1(wins["sstart"], wins["meta"], lam[None, :])
+        return self._compact1(wins["sstart"], wins["meta"], wins["nchunk"], lam[None, :])
 
     def lambda_phase(self, wins, cands, pstar, mass, member, ptype, alive):
         from pbf_sph_tpu.core.types import FLUID
@@ -619,7 +665,7 @@ class PallasPhases2:
         packed = jnp.stack(
             [colour[0], colour[1], colour[2], colour[3], w, clb, z, z]
         )
-        cands = self._compact8(wins["sstart"], wins["meta"], packed)
+        cands = self._compact8(wins["sstart"], wins["meta"], wins["nchunk"], packed)
         rows = self._rows4(cl, z, z, z)
         outs = self._diffuse(wins["nchunk"], rows, cands)
         outs = outs.reshape(self.capacity, 8)
