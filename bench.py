@@ -60,7 +60,10 @@ def main() -> int:
         if occ > spec.cell_capacity:
             changes["cell_capacity"] = -(-occ // 16) * 16 + 16
         if ovf > 0:
-            from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
+            if getattr(spec, "pallas_v2", False):
+                from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity
+            else:
+                from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
             changes["strip_capacity"] = grown_strip_capacity(spec, ovf)
         if wovf > 0:

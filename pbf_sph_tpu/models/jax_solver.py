@@ -245,6 +245,58 @@ def _queries(scn, spec: StepSpec, pid, ptype, alive, cell_table, min_extent, dty
     return jnp.stack(out_ids), jnp.stack(out_counts)
 
 
+def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0):
+    """Construct the Pallas phase pipelines for a static spec (shared by
+    `build_step` and the per-phase timed path in `models/timed.py`).
+
+    Returns (phases, phases2, mc_field_pallas); all None when use_pallas is
+    False.  phases2 (the v2 compacted-candidate pipeline) is used when
+    spec.pallas_v2, else phases (the v1 strip-window pipeline)."""
+    phases = None
+    phases2 = None
+    mc_field_pallas = None
+    if not use_pallas:
+        return phases, phases2, mc_field_pallas
+
+    from pbf_sph_tpu.ops import pallas_pbf
+
+    if spec.capacity % pallas_pbf.BLK != 0:
+        raise ValueError(f"capacity must be a multiple of {pallas_pbf.BLK}")
+    nz = spec.grid.dims[2]
+    smax = strip_capacity or spec.strip_capacity or max(
+        8192, -(-(nz * 48 * 2) // 128) * 128
+    )
+    smax = min(-(-smax // 128) * 128, spec.capacity)
+    interp = jax.default_backend() == "cpu"
+    if spec.pallas_v2:
+        from pbf_sph_tpu.ops import pallas_pbf2
+
+        # v2 uses ONE union strip spanning the v1 design's three dx-strips;
+        # at production scale the union covers ~2 x-planes of particles, so
+        # default to 3x the per-strip capacity
+        usmax = strip_capacity or spec.strip_capacity or (3 * smax)
+        usmax = min(-(-usmax // 128) * 128, spec.capacity)
+        wcap = spec.wcap or pallas_pbf2.default_wcap()
+        phases2 = pallas_pbf2.PallasPhases2(
+            spec.capacity, spec.grid, spec.h, usmax, wcap, interpret=interp
+        )
+    else:
+        phases = pallas_pbf.PallasPhases(
+            spec.capacity, spec.grid, spec.h, smax, interpret=interp
+        )
+
+    MC_SMAX_CAP = 16384  # VMEM-safe strip bound for the node kernel
+    if spec.surface is not None and spec.mc_pallas:
+        from pbf_sph_tpu.ops.pallas_mc import PallasMcField
+
+        mc_smax = min(max(smax, 8192), MC_SMAX_CAP, spec.capacity)
+        mc_field_pallas = PallasMcField(
+            spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
+            spec.surface.influence_static, mc_smax, interpret=interp,
+        )
+    return phases, phases2, mc_field_pallas
+
+
 def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0):
     """Build the jittable full-frame step for a static spec.
 
@@ -258,41 +310,9 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
     maxz = spec.grid.maxz
     K = spec.cell_capacity
 
-    phases = None
-    phases2 = None
-    if use_pallas:
-        from pbf_sph_tpu.ops import pallas_pbf
-
-        if spec.capacity % pallas_pbf.BLK != 0:
-            raise ValueError(f"capacity must be a multiple of {pallas_pbf.BLK}")
-        nz = spec.grid.dims[2]
-        smax = strip_capacity or spec.strip_capacity or max(
-            8192, -(-(nz * 48 * 2) // 128) * 128
-        )
-        smax = min(-(-smax // 128) * 128, spec.capacity)
-        interp = jax.default_backend() == "cpu"
-        if spec.pallas_v2:
-            from pbf_sph_tpu.ops import pallas_pbf2
-
-            wcap = spec.wcap or pallas_pbf2.default_wcap()
-            phases2 = pallas_pbf2.PallasPhases2(
-                spec.capacity, spec.grid, spec.h, smax, wcap, interpret=interp
-            )
-        else:
-            phases = pallas_pbf.PallasPhases(
-                spec.capacity, spec.grid, spec.h, smax, interpret=interp
-            )
-
-    mc_field_pallas = None
-    MC_SMAX_CAP = 16384  # VMEM-safe strip bound for the node kernel
-    if use_pallas and spec.surface is not None and spec.mc_pallas:
-        from pbf_sph_tpu.ops.pallas_mc import PallasMcField
-
-        mc_smax = min(max(smax, 8192), MC_SMAX_CAP, spec.capacity)
-        mc_field_pallas = PallasMcField(
-            spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
-            spec.surface.influence_static, mc_smax, interpret=interp,
-        )
+    phases, phases2, mc_field_pallas = make_phase_objects(
+        spec, use_pallas, strip_capacity
+    )
 
     def step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
         h = spec.h
@@ -618,7 +638,10 @@ class JaxSolver(Solver):
                 surface = dataclasses.replace(surface, tri_capacity=-(-tri_count // 1024) * 1024)
             new_s = spec.strip_capacity
             if need_s:
-                from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
+                if spec.pallas_v2:
+                    from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity
+                else:
+                    from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
                 new_s = grown_strip_capacity(spec, strip_ovf)
             new_w = spec.wcap

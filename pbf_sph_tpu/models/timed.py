@@ -121,29 +121,92 @@ def advance_timed(
 
     cells, member = jax.jit(lambda k: decode_key(k, spec.grid))(key)
 
-    @jax.jit
-    def diffuse_stage(state, cells, member, cell_table, dyn):
-        ranges = stencil_ranges(cells, member, cell_table, spec.grid)
-        return pbf.diffuse(
-            state.colour, state.ptype, state.alive, ranges, K, dyn["dt"].astype(dtype)
-        )
+    # the SAME phase pipeline the fused production step uses: Pallas v2/v1
+    # kernels for `--impl pallas`, the XLA gather phases for `--impl jax`
+    from pbf_sph_tpu.models.jax_solver import make_phase_objects
 
-    stop = watch.start("\t[TPU] sph-diffuse ")
-    colour = sync(diffuse_stage(state, cells, member, cell_table, dyn))
-    stop()
+    phases, phases2, mc_field_pallas = make_phase_objects(spec, solver.use_pallas)
 
-    @jax.jit
-    def iter_stage(pstar, state, cells, member, cell_table, dyn):
-        ranges = stencil_ranges(cells, member, cell_table, spec.grid)
-        lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
-        return pbf.delta_phase(
-            pstar, lam, state.ptype, state.alive, ranges, K, h, scale,
-            dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+    if phases2 is not None:
+        stop = watch.start("\t[TPU] plan-compact")
+        wins = sync(jax.jit(lambda k, t: phases2.plan_frame(k, t)[0])(key, cell_table))
+        stop()
+
+        stop = watch.start("\t[TPU] sph-diffuse ")
+        colour = sync(
+            jax.jit(
+                lambda st, dyn: phases2.diffuse(
+                    wins, st.colour, cells, member, st.ptype, st.alive,
+                    dyn["dt"].astype(dtype),
+                )
+            )(state, dyn)
         )
+        stop()
+
+        @jax.jit
+        def iter_stage(pstar, state, dyn):
+            cands = phases2.compact_pstar(wins, pstar, member)
+            lam = phases2.lambda_phase(
+                wins, cands, pstar, state.mass, member, state.ptype, state.alive
+            )
+            lamc = phases2.compact_lam(wins, lam)
+            return phases2.delta_phase(
+                wins, cands, lamc, pstar, lam, member, state.ptype, state.alive,
+                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+            )
+
+    elif phases is not None:
+        stop = watch.start("\t[TPU] plan-windows")
+        wins = sync(jax.jit(lambda k, t: phases.plan_frame(k, t)[0])(key, cell_table))
+        stop()
+        memberf = member.astype(dtype)
+
+        stop = watch.start("\t[TPU] sph-diffuse ")
+        colour = sync(
+            jax.jit(
+                lambda st, dyn: phases.diffuse(
+                    wins, st.colour, cells, memberf, st.ptype, st.alive,
+                    dyn["dt"].astype(dtype),
+                )
+            )(state, dyn)
+        )
+        stop()
+
+        @jax.jit
+        def iter_stage(pstar, state, dyn):
+            lam = phases.lambda_phase(
+                wins, pstar, state.mass, memberf, state.ptype, state.alive, cells
+            )
+            return phases.delta_phase(
+                wins, pstar, lam, memberf, state.ptype, state.alive,
+                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+                cells,
+            )
+
+    else:
+        @jax.jit
+        def diffuse_stage(state, cells, member, cell_table, dyn):
+            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
+            return pbf.diffuse(
+                state.colour, state.ptype, state.alive, ranges, K, dyn["dt"].astype(dtype)
+            )
+
+        stop = watch.start("\t[TPU] sph-diffuse ")
+        colour = sync(diffuse_stage(state, cells, member, cell_table, dyn))
+        stop()
+
+        @jax.jit
+        def iter_stage(pstar, state, dyn):
+            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
+            lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
+            return pbf.delta_phase(
+                pstar, lam, state.ptype, state.alive, ranges, K, h, scale,
+                dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+            )
 
     stop = watch.start(f"\t[TPU] sph-lambda/delta*{spec.iteration}")
     for _ in range(spec.iteration):
-        pstar = iter_stage(pstar, state, cells, member, cell_table, dyn)
+        pstar = iter_stage(pstar, state, dyn)
     sync(pstar)
     stop()
 
@@ -161,14 +224,27 @@ def advance_timed(
     if spec.surface is not None:
         stop = watch.start("\t[TPU] mc-field")
 
-        @jax.jit
-        def field_stage(position, colour, state, cell_table, dyn):
-            return mc_ops.mc_field(
-                position, colour, state.ptype, state.alive, cell_table, spec.grid,
-                min_extent, spec.grid.extent, spec.surface, K, h, scale,
-                dyn["mc_particle_size"].astype(dtype),
-                dyn["mc_particle_influence"].astype(dtype),
-            )
+        if mc_field_pallas is not None:
+
+            @jax.jit
+            def field_stage(position, colour, state, cell_table, dyn):
+                lv, ln, lc, _ovf = mc_field_pallas(
+                    cell_table, cells, position, colour, state.ptype, state.alive,
+                    member, min_extent, dyn["mc_particle_size"].astype(dtype),
+                    scale, dtype,
+                )
+                return lv, ln, lc
+
+        else:
+
+            @jax.jit
+            def field_stage(position, colour, state, cell_table, dyn):
+                return mc_ops.mc_field(
+                    position, colour, state.ptype, state.alive, cell_table, spec.grid,
+                    min_extent, spec.grid.extent, spec.surface, K, h, scale,
+                    dyn["mc_particle_size"].astype(dtype),
+                    dyn["mc_particle_influence"].astype(dtype),
+                )
 
         lat = sync(field_stage(position, colour, state, cell_table, dyn))
         stop()

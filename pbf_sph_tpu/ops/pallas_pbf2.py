@@ -95,16 +95,36 @@ def grown_wcap(wcap: int, overflow: int) -> int:
     return min(-(-need // 128) * 128 + 128, WCAP_MAX)
 
 
+def grown_strip_capacity(step_spec, overflow: int) -> int:
+    """Next union-strip capacity after an overflow of `overflow` columns
+    (v2's strip is the union of v1's three dx-strips, so its default base is
+    3x the per-strip default)."""
+    nz = step_spec.grid.dims[2]
+    base = step_spec.strip_capacity or 3 * max(
+        8192, -(-(nz * 48 * 2) // 128) * 128
+    )
+    need = base + int(overflow)
+    return min(-(-need // 2048) * 2048 + 2048, step_spec.capacity)
+
+
 def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
                  smax: int, wcap: int):
     """Per-frame compaction plan (XLA).
 
     Returns (wins, overflows):
       wins = dict(
-        meta   (nsub, wcap//128) int32: per dst chunk, strip*8192 + src_chunk,
+        meta   (nsub, wcap//128) int32: per dst chunk, the source chunk index
+               relative to the block's union-strip start,
         nchunk (nsub,) int32: dst chunks per sub-block,
-        sstart (nblocks, 3) int32: 128-aligned strip start columns)
+        sstart (nblocks,) int32: 128-aligned union-strip start columns)
       overflows = dict(strip_overflow, wcap_overflow) int32
+
+    The per-block source window is ONE contiguous union strip spanning
+    [table[cmin_b - nynz - nz - 1], table[cmax_b + nynz + nz + 2]) — the hull
+    of the v1 design's three dx-strips.  At production scale the three strips
+    nearly abut (the inter-strip gap holds the same x-plane's own particles),
+    so the union costs no extra DMA traffic and removes the dynamic strip
+    index from the copy kernel's inner loop.
     """
     C = capacity
     assert C % BLK == 0
@@ -120,18 +140,14 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     cmin = lin[0::SUB]                      # (nsub,)
     cmax = lin[SUB - 1 :: SUB]
 
-    # per-block strip starts (128-aligned) + strip content ranges
+    # per-block union-strip start (128-aligned) + content range
     cmin_b = cmin.reshape(nblocks, NSUB)[:, 0]
     cmax_b = cmax.reshape(nblocks, NSUB)[:, -1]
     nsub = cmin.shape[0]
-    sstarts, sends = [], []
-    for dx in (-1, 0, 1):
-        lo_cell = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
-        hi_cell = jnp.clip(cmax_b + dx * nynz + nz + 2, 0, ncells)
-        sstarts.append(cell_table[lo_cell])
-        sends.append(cell_table[hi_cell])
-    sstart = jnp.stack(sstarts, axis=1).astype(jnp.int32)   # (nblocks, 3)
-    send = jnp.stack(sends, axis=1).astype(jnp.int32)
+    lo_cell_b = jnp.clip(cmin_b - nynz - nz - 1, 0, ncells)
+    hi_cell_b = jnp.clip(cmax_b + nynz + nz + 2, 0, ncells)
+    sstart = cell_table[lo_cell_b].astype(jnp.int32)        # (nblocks,)
+    send = cell_table[hi_cell_b].astype(jnp.int32)
     sstart_al = (sstart // WCOL) * WCOL
     sstart_al = jnp.minimum(sstart_al, max(C - smax, 0)).astype(jnp.int32)
     strip_overflow = jnp.maximum(jnp.max(send - sstart_al) - smax, 0).astype(jnp.int32)
@@ -159,7 +175,7 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     pmax = jnp.take_along_axis(linr, ends, axis=1)
 
     # NIV raw intervals per sub-block (piece x stencil offset)
-    los, his, strips = [], [], []
+    los, his = [], []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             off = dx * nynz + dy * nz
@@ -168,12 +184,8 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
                 hi_cell = jnp.clip(pmax[:, g] + off + 2, 0, ncells)
                 los.append(cell_table[lo_cell])
                 his.append(cell_table[hi_cell])
-                strips.append(dx + 1)
     lo = jnp.stack(los, axis=1)             # (nsub, NIV) absolute columns
     hi = jnp.stack(his, axis=1)
-    strip_of = jnp.broadcast_to(
-        jnp.asarray(strips, jnp.int32)[None, :], lo.shape
-    )
 
     # Sort intervals by lo per sub-block so the running-max clip below yields
     # DISJOINT intervals covering the union exactly once: for monotone los,
@@ -183,7 +195,6 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     order = jnp.argsort(lo, axis=1)
     lo = jnp.take_along_axis(lo, order, axis=1)
     hi = jnp.take_along_axis(hi, order, axis=1)
-    strip_of = jnp.take_along_axis(strip_of, order, axis=1)
 
     parts_lo, parts_len = [], []
     rh = None
@@ -196,17 +207,11 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     ilo = jnp.stack(parts_lo, axis=1)       # (nsub, NIV)
     ilen = jnp.stack(parts_len, axis=1)
 
-    base = jnp.take_along_axis(
-        jnp.repeat(sstart_al, NSUB, axis=0), strip_of, axis=1
-    )                                                       # (nsub, NIV)
-
     # Private-chunk placement: each interval is copied as the 128-aligned
     # source chunks covering it, into that many PRIVATE destination chunks —
     # lane-phase-preserving copies, no rotates.  Covering chunks of adjacent
     # intervals can overlap (gap < 128 columns), which would duplicate true
-    # candidates; dedup with the same running-max chain on ABSOLUTE chunk
-    # indices (strip starts are 128-aligned, so buffer chunks == absolute
-    # chunks and the dedup is valid across strips too).
+    # candidates; dedup with the same running-max chain on chunk indices.
     a = ilo // WCOL                                          # (nsub, NIV)
     bnd = jnp.where(ilen > 0, (ilo + ilen - 1) // WCOL + 1, a)
     parts_a, parts_k = [], []
@@ -221,7 +226,8 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
         prev_end = pe if prev_end is None else jnp.maximum(prev_end, pe)
     srcc0_abs = jnp.stack(parts_a, axis=1)                   # (nsub, NIV)
     k = jnp.stack(parts_k, axis=1)
-    srcc0 = srcc0_abs - base // WCOL                         # strip-relative
+    base_b = jnp.repeat(sstart_al // WCOL, NSUB)             # (nsub,)
+    srcc0 = srcc0_abs - base_b[:, None]                      # strip-relative
 
     dstc0 = jnp.cumsum(k, axis=1) - k                        # (nsub, NIV)
     nchunk = (dstc0[:, -1] + k[:, -1]).astype(jnp.int32)     # (nsub,)
@@ -229,17 +235,21 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     wcap_overflow = jnp.maximum(jnp.max(nchunk) - cmax_chunks, 0).astype(jnp.int32) * WCOL
     nchunk = jnp.minimum(nchunk, cmax_chunks)
 
-    # flat per-dst-chunk source map: chunkmeta[t, j] = strip*8192 + src_chunk
-    j_idx = jnp.arange(cmax_chunks, dtype=jnp.int32)[None, None, :]  # (1,1,J)
-    started = (dstc0[:, :, None] <= j_idx) & (k[:, :, None] > 0)     # (nsub,NIV,J)
-    ivals = jnp.arange(NIV, dtype=jnp.int32)[None, :, None]
-    i_of_j = jnp.maximum(jnp.max(jnp.where(started, ivals, -1), axis=1), 0)
-    pick = jax.nn.one_hot(i_of_j, NIV, axis=1, dtype=jnp.int32)      # (nsub,NIV,J)
-    srcc0_j = jnp.sum(srcc0[:, :, None] * pick, axis=1)
-    dstc0_j = jnp.sum(dstc0[:, :, None] * pick, axis=1)
-    strip_j = jnp.sum(strip_of[:, :, None] * pick, axis=1)
-    src_chunk = jnp.clip(srcc0_j + (j_idx[:, 0] - dstc0_j), 0, smax // WCOL - 1)
-    chunkmeta = (strip_j * 8192 + src_chunk).astype(jnp.int32)       # (nsub, J)
+    # flat per-dst-chunk source map via scatter-max + cummax (O(NIV + J) per
+    # sub-block, vs the O(NIV*J) one-hot pick): owner interval of dst chunk j
+    # is the last non-empty interval with dstc0 <= j
+    rows = jnp.arange(nsub, dtype=jnp.int32)[:, None]
+    dst_idx = jnp.minimum(dstc0, cmax_chunks - 1)
+    ival = jnp.broadcast_to(jnp.arange(NIV, dtype=jnp.int32)[None, :], k.shape)
+    scat = jnp.full((nsub, cmax_chunks), -1, jnp.int32)
+    scat = scat.at[rows, dst_idx].max(jnp.where(k > 0, ival, -1))
+    i_of_j = jnp.maximum(jax.lax.cummax(scat, axis=1), 0)    # (nsub, J)
+    srcc0_j = jnp.take_along_axis(srcc0, i_of_j, axis=1)
+    dstc0_j = jnp.take_along_axis(dstc0, i_of_j, axis=1)
+    j_idx = jnp.arange(cmax_chunks, dtype=jnp.int32)[None, :]
+    chunkmeta = jnp.clip(
+        srcc0_j + (j_idx - dstc0_j), 0, smax // WCOL - 1
+    ).astype(jnp.int32)                                      # (nsub, J)
 
     wins = dict(meta=chunkmeta, nchunk=nchunk, sstart=sstart_al)
     overflows = dict(
@@ -254,27 +264,25 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
 # ---------------------------------------------------------------------------
 
 
-def _issue_strips(p_hbm, sbuf, sems, slot, sstart_ref, b, smax):
-    for s in range(3):
-        start = pl.multiple_of(sstart_ref[b, s], WCOL)
-        pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(start, smax)], sbuf.at[slot, s], sems.at[slot, s]
-        ).start()
+def _issue_strip(p_hbm, sbuf, sems, slot, sstart_ref, b, smax):
+    start = pl.multiple_of(sstart_ref[b], WCOL)
+    pltpu.make_async_copy(
+        p_hbm.at[:, pl.ds(start, smax)], sbuf.at[slot], sems.at[slot]
+    ).start()
 
 
-def _wait_strips(p_hbm, sbuf, sems, slot, smax):
-    for s in range(3):
-        pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot, s], sems.at[slot, s]
-        ).wait()
+def _wait_strip(p_hbm, sbuf, sems, slot, smax):
+    pltpu.make_async_copy(
+        p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot], sems.at[slot]
+    ).wait()
 
 
 def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
     """Compact nf fields from the sorted particle array into dense per-sub-
     block candidate slabs: (nf, C) -> (nf, (C//SUB) * WCAP).
 
-    Pure indexed chunk copy: slab chunk j of sub-block t is strip chunk
-    `meta[t, j] % 8192` of strip `meta[t, j] // 8192`, verbatim.  No rotates,
+    Pure indexed chunk copy: slab chunk j of sub-block t is union-strip chunk
+    `meta[t, j]`, verbatim — one (nf, 128) tile copy per chunk.  No rotates,
     no read-modify-writes, no masks (see module docstring for why spilled
     head/tail lanes are safe)."""
     smax = plan.smax
@@ -282,8 +290,7 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
     nblocks = plan.nblocks
     cmax_chunks = wcap // WCOL
     assert wcap % WCOL == 0
-    # Mosaic requires the (fields, smax) strip slice's leading dim aligned to
-    # the sublane tile (4 for f32 here); pad the DMA'd field count
+    # pad the DMA'd field count to the f32 sublane tile
     nf_dma = -(-nf // 4) * 4
 
     def kernel(sstart, meta, nchunk, p_any, out, sbuf, sems):
@@ -292,24 +299,21 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
 
         @pl.when(b == 0)
         def _():
-            _issue_strips(p_any, sbuf, sems, 0, sstart, 0, smax)
+            _issue_strip(p_any, sbuf, sems, 0, sstart, 0, smax)
 
         @pl.when(b + 1 < nblocks)
         def _():
-            _issue_strips(p_any, sbuf, sems, 1 - slot, sstart,
-                          jnp.minimum(b + 1, nblocks - 1), smax)
+            _issue_strip(p_any, sbuf, sems, 1 - slot, sstart,
+                         jnp.minimum(b + 1, nblocks - 1), smax)
 
-        _wait_strips(p_any, sbuf, sems, slot, smax)
+        _wait_strip(p_any, sbuf, sems, slot, smax)
 
         for t in range(NSUB):  # static
 
             def copy_chunk(j, _):
-                m = meta[0, 0, t, j]
-                strip = m // 8192
-                sc = pl.multiple_of((m - strip * 8192) * WCOL, WCOL)
+                sc = pl.multiple_of(meta[0, 0, t, j] * WCOL, WCOL)
                 d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
-                for f in range(nf):
-                    out[f, pl.ds(d, WCOL)] = sbuf[slot, strip, f, pl.ds(sc, WCOL)]
+                out[:, pl.ds(d, WCOL)] = sbuf[slot, 0:nf, pl.ds(sc, WCOL)]
                 return 0
 
             jax.lax.fori_loop(0, nchunk[0, 0, t], copy_chunk, 0)
@@ -323,13 +327,13 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
                          memory_space=pltpu.SMEM),                        # meta
             pl.BlockSpec((1, 1, NSUB), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),                        # nchunk
-            pl.BlockSpec(memory_space=pltpu.ANY),                        # packed
+            pl.BlockSpec(memory_space=pl.ANY),                           # packed
         ],
         out_specs=pl.BlockSpec((nf, NSUB * wcap), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, nf_dma, smax), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, nf_dma, smax), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -421,7 +425,7 @@ def make_lambda2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False)
 
             def chunk(c, carry):
                 p6s, gx, gy, gz = carry
-                o = t * wcap + c * WCOL
+                o = pl.multiple_of(t * wcap + c * WCOL, WCOL)
                 bx = pc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
                 by = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bz = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
@@ -479,7 +483,7 @@ def make_delta2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
 
             def chunk(c, carry):
                 dxs, dys, dzs = carry
-                o = t * wcap + c * WCOL
+                o = pl.multiple_of(t * wcap + c * WCOL, WCOL)
                 bx = pc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
                 by = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bz = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
@@ -532,7 +536,7 @@ def make_diffuse2_call(plan: Plan2Spec, capacity: int, grid: GridSpec,
 
             def chunk(c, carry):
                 sr, sg_, sb_, sa, cnt = carry
-                o = t * wcap + c * WCOL
+                o = pl.multiple_of(t * wcap + c * WCOL, WCOL)
                 cr = cc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
                 cg = cc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 cb = cc[2, pl.ds(o, WCOL)].reshape(1, WCOL)

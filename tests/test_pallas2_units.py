@@ -234,8 +234,7 @@ def test_plan_straddle_bounded():
         covered = np.zeros(C + 65536, bool)
         abs_chunks = set()
         for j in range(nchunk[t]):
-            strip, sc = meta[t, j] // 8192, meta[t, j] % 8192
-            ac = sstart[b, strip] // 128 + sc
+            ac = sstart[b] // 128 + meta[t, j]
             assert ac not in abs_chunks, f"dup chunk for sub-block {t}"
             abs_chunks.add(ac)
             covered[ac * 128 : ac * 128 + 128] = True
@@ -255,7 +254,7 @@ def test_plan_intervals_fast():
     assert int(ovf["strip_overflow"]) == 0 and int(ovf["wcap_overflow"]) == 0
     meta = np.asarray(wins["meta"])          # (nsub, wcap//128)
     nchunk = np.asarray(wins["nchunk"])
-    sstart = np.asarray(wins["sstart"])      # (nblocks, 3)
+    sstart = np.asarray(wins["sstart"])      # (nblocks,)
     cells_np = np.stack([np.asarray(c) for c in cells])
     member_np = np.asarray(member)
     nsub = C // p2.SUB
@@ -264,9 +263,9 @@ def test_plan_intervals_fast():
         b = t // p2.NSUB
         abs_chunks = []
         for j in range(nchunk[t]):
-            strip, sc = meta[t, j] // 8192, meta[t, j] % 8192
+            sc = meta[t, j]
             assert 0 <= sc < smax // 128
-            abs_chunks.append(sstart[b, strip] // 128 + sc)
+            abs_chunks.append(sstart[b] // 128 + sc)
         # absolute source chunks unique -> no duplicated candidates
         assert len(set(abs_chunks)) == len(abs_chunks), f"dup chunk in {t}"
         covered = np.zeros(C + 4096, bool)

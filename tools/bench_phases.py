@@ -24,7 +24,10 @@ from pbf_sph_tpu.ops.grid import build_cell_table, cell_coords, decode_key, sort
 
 
 def sync(x):
-    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    # slice on-device FIRST: np.asarray of a big leaf would pull the whole
+    # array through the ~10 MB/s axon tunnel and dwarf the kernel time
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
 
 
 def timed(fn, *args, reps=10, label=""):
@@ -114,7 +117,7 @@ def main():
     if which in ("v2", "both"):
         from pbf_sph_tpu.ops import pallas_pbf2 as p2
 
-        smax = max(8192, -(-(spec.grid.dims[2] * 48 * 2) // 128) * 128)
+        smax = 3 * max(8192, -(-(spec.grid.dims[2] * 48 * 2) // 128) * 128)
         smax = min(-(-smax // 128) * 128, spec.capacity)
         wcap = spec.wcap or p2.default_wcap()
         ph2 = p2.PallasPhases2(spec.capacity, spec.grid, h, smax, wcap)
