@@ -149,9 +149,15 @@ def dyn_params_of(config: SphParams, dtype) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _apply_sources(state: FluidState, scn, spec: StepSpec, dtype):
+def _apply_sources(state: FluidState, scn, spec, dtype, accept=None,
+                   slot_limit=None):
     """Spawn particles into dead slots (reference `src/omp/ompsph.hpp:93-105`);
-    the reference's emplace_back becomes mask-set on a fixed-capacity array."""
+    the reference's emplace_back becomes mask-set on a fixed-capacity array.
+
+    `accept` (optional): callable spawn_pos (3, total) -> (total,) bool; used
+    by the sharded step so only the device owning a source's x-slab spawns.
+    `slot_limit`: restrict candidate dead slots to [0, slot_limit) (the
+    sharded step's owned region, excluding ghost tail slots)."""
     sc = spec.scene
     total = sc.total_spawn
     if total == 0:
@@ -181,8 +187,17 @@ def _apply_sources(state: FluidState, scn, spec: StepSpec, dtype):
     spawn_tag = jnp.concatenate(tag_parts)
 
     # dead slots first (stable sort of the alive mask)
-    slots = jnp.argsort(state.alive.astype(jnp.int32), stable=True)[:total]
+    eligible = state.alive.astype(jnp.int32)
+    if slot_limit is not None:
+        eligible = jnp.where(
+            jnp.arange(eligible.shape[0]) < slot_limit, eligible, 2
+        )
+    slots = jnp.argsort(eligible, stable=True)[:total]
     can = ~state.alive[slots]
+    if slot_limit is not None:
+        can = can & (slots < slot_limit)
+    if accept is not None:
+        can = can & accept(spawn_pos)
     dropped = total - jnp.sum(can)
 
     def put(arr, new):
@@ -297,6 +312,73 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
     return phases, phases2, mc_field_pallas
 
 
+def neighbour_phases(
+    phases, phases2, grid: GridSpec, K: int, h: float, iteration: int, dtype,
+    key, cell_table, cells, member,
+    colour, pstar, mass, ptype, alive,
+    dt, scale, min_bound, max_bound,
+    refresh_lam=None, refresh_pstar=None,
+):
+    """The diffuse + iterated lambda/delta pipeline, shared verbatim by the
+    single-chip step and the shard_map'd local step.
+
+    Dispatches to the v2 compacted-candidate Pallas kernels (phases2), the v1
+    strip-window kernels (phases), or the XLA gather path (both None).
+    refresh_lam / refresh_pstar are the multi-chip halo hooks: applied to lam
+    right after each lambda phase (before it is compacted for delta) and to
+    pstar right after each delta phase, so ghost rows carry their owners'
+    values into the next use.  Single-chip passes None.
+
+    Returns (colour, pstar, strip_overflow, wcap_overflow)."""
+    rl = refresh_lam if refresh_lam is not None else (lambda x: x)
+    rp = refresh_pstar if refresh_pstar is not None else (lambda x: x)
+    strip_overflow = jnp.asarray(0, jnp.int32)
+    wcap_overflow = jnp.asarray(0, jnp.int32)
+
+    if phases2 is not None:
+        wins2, ovf2 = phases2.plan_frame(key, cell_table)
+        strip_overflow = ovf2["strip_overflow"]
+        wcap_overflow = ovf2["wcap_overflow"]
+        colour = phases2.diffuse(wins2, colour, cells, member, ptype, alive, dt)
+        for _ in range(iteration):
+            cands = phases2.compact_pstar(wins2, pstar, member)
+            lam = phases2.lambda_phase(
+                wins2, cands, pstar, mass, member, ptype, alive
+            )
+            lam = rl(lam)
+            lamc = phases2.compact_lam(wins2, lam)
+            pstar = phases2.delta_phase(
+                wins2, cands, lamc, pstar, lam, member, ptype, alive,
+                scale, min_bound, max_bound,
+            )
+            pstar = rp(pstar)
+    elif phases is not None:
+        wins, strip_overflow = phases.plan_frame(key, cell_table)
+        memberf = member.astype(dtype)
+        colour = phases.diffuse(wins, colour, cells, memberf, ptype, alive, dt)
+        for _ in range(iteration):
+            lam = phases.lambda_phase(wins, pstar, mass, memberf, ptype, alive, cells)
+            lam = rl(lam)
+            pstar = phases.delta_phase(
+                wins, pstar, lam, memberf, ptype, alive,
+                scale, min_bound, max_bound, cells,
+            )
+            pstar = rp(pstar)
+    else:
+        ranges = stencil_ranges(cells, member, cell_table, grid)
+        colour = pbf.diffuse(colour, ptype, alive, ranges, K, dt)
+        for _ in range(iteration):
+            lam = pbf.lambda_phase(pstar, mass, ptype, alive, ranges, K, h)
+            lam = rl(lam)
+            pstar = pbf.delta_phase(
+                pstar, lam, ptype, alive, ranges, K, h,
+                scale, min_bound, max_bound,
+            )
+            pstar = rp(pstar)
+
+    return colour, pstar, strip_overflow, wcap_overflow
+
+
 def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0):
     """Build the jittable full-frame step for a static spec.
 
@@ -393,54 +475,14 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             scn, spec, state.pid, state.ptype, state.alive, cell_table, min_extent, dtype
         )
 
-        strip_overflow = jnp.asarray(0, jnp.int32)
-        wcap_overflow = jnp.asarray(0, jnp.int32)
-        if phases2 is not None:
-            wins2, ovf2 = phases2.plan_frame(key, cell_table)
-            strip_overflow = ovf2["strip_overflow"]
-            wcap_overflow = ovf2["wcap_overflow"]
-            colour = phases2.diffuse(
-                wins2, state.colour, cells, member, state.ptype, state.alive, dt
-            )
-            for _ in range(spec.iteration):
-                cands = phases2.compact_pstar(wins2, pstar, member)
-                lam = phases2.lambda_phase(
-                    wins2, cands, pstar, state.mass, member, state.ptype, state.alive
-                )
-                lamc = phases2.compact_lam(wins2, lam)
-                pstar = phases2.delta_phase(
-                    wins2, cands, lamc, pstar, lam, member, state.ptype, state.alive,
-                    scale, min_bound, max_bound,
-                )
-        elif phases is None:
-            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
-
-            # 8. colour diffusion
-            colour = pbf.diffuse(state.colour, state.ptype, state.alive, ranges, K, dt)
-
-            # 9. constraint solve
-            for _ in range(spec.iteration):
-                lam = pbf.lambda_phase(
-                    pstar, state.mass, state.ptype, state.alive, ranges, K, h
-                )
-                pstar = pbf.delta_phase(
-                    pstar, lam, state.ptype, state.alive, ranges, K, h,
-                    scale, min_bound, max_bound,
-                )
-        else:
-            wins, strip_overflow = phases.plan_frame(key, cell_table)
-            memberf = member.astype(dtype)
-            colour = phases.diffuse(
-                wins, state.colour, cells, memberf, state.ptype, state.alive, dt
-            )
-            for _ in range(spec.iteration):
-                lam = phases.lambda_phase(
-                    wins, pstar, state.mass, memberf, state.ptype, state.alive, cells
-                )
-                pstar = phases.delta_phase(
-                    wins, pstar, lam, memberf, state.ptype, state.alive,
-                    scale, min_bound, max_bound, cells,
-                )
+        # 8-9. colour diffusion + constraint solve (pipeline shared with the
+        # shard_map'd local step, which adds halo-refresh hooks)
+        colour, pstar, strip_overflow, wcap_overflow = neighbour_phases(
+            phases, phases2, spec.grid, K, h, spec.iteration, dtype,
+            key, cell_table, cells, member,
+            state.colour, pstar, state.mass, state.ptype, state.alive,
+            dt, scale, min_bound, max_bound,
+        )
 
         # 10. finalise
         position, velocity = pbf.finalise(

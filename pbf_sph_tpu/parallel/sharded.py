@@ -32,7 +32,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pbf_sph_tpu.core.types import FLUID, FluidState
+from pbf_sph_tpu.core.types import FLUID, FluidState, Scene
+from pbf_sph_tpu.models.jax_solver import (
+    SceneSpec,
+    StepSpec,
+    _apply_drains,
+    _apply_sources,
+    make_phase_objects,
+    neighbour_phases,
+    scene_spec_of,
+)
 from pbf_sph_tpu.ops import pbf
 from pbf_sph_tpu.ops.grid import GridSpec, build_cell_table, decode_key, stencil_ranges
 
@@ -52,6 +61,14 @@ class ShardSpec:
     iteration: int
     cell_capacity: int
     dtype: str = "float32"
+    scene: SceneSpec = SceneSpec()
+    # run the Pallas v2 phase pipeline in the local step (the production
+    # kernels); False = the XLA gather phases
+    use_pallas: bool = False
+    strip_capacity: int = 0
+    wcap: int = 0
+    # initial-bounds min x (world space); used only by distribute_particles
+    min_bound_x: float = 0.0
 
     @property
     def grid_local(self) -> GridSpec:
@@ -70,17 +87,25 @@ class ShardSpec:
     @staticmethod
     def create(config, n_dev: int, count: int, h: float,
                cell_capacity: int = 48, dtype: str = "float32",
-               cap_local: int = 0) -> "ShardSpec":
+               cap_local: int = 0, scene: Scene = None,
+               use_pallas: bool = False) -> "ShardSpec":
         grid = GridSpec.from_bounds(config.min_bound, config.max_bound, config.scale, h)
         gx = grid.dims[0]
         slab_w = -(-gx // n_dev)
+        sspec = scene_spec_of(scene or Scene(), config)
         if cap_local <= 0:
             # dam-style scenes are heavily imbalanced across slabs; default to
             # room for the whole set on one device below 4 devices' worth
-            cap_local = max(256, -(-int(count) // 128) * 128)
+            cap_local = max(256, -(-int(count + sspec.total_spawn) // 128) * 128)
         gy, gz = grid.dims[1], grid.dims[2]
         ghost_cap = max(128, -(-(gy * gz * 8) // 128) * 128)
         ghost_cap = min(ghost_cap, cap_local)
+        if use_pallas:
+            # the Pallas pipeline blocks the local array into 1024-row blocks
+            from pbf_sph_tpu.ops.pallas_pbf2 import BLK
+
+            total = cap_local + 2 * ghost_cap
+            cap_local += -(-total // BLK) * BLK - total
         return ShardSpec(
             n_dev=n_dev,
             cap_local=cap_local,
@@ -93,12 +118,60 @@ class ShardSpec:
             iteration=int(config.iteration),
             cell_capacity=cell_capacity,
             dtype=dtype,
+            scene=sspec,
+            use_pallas=use_pallas,
+            min_bound_x=float(np.asarray(config.min_bound, np.float32)[0]),
         )
 
 
 def _perm(n: int, shift: int):
     """ppermute pairs sending each device d to d+shift (non-periodic)."""
     return [(d, d + shift) for d in range(n) if 0 <= d + shift < n]
+
+
+def _sharded_queries(spec: ShardSpec, scn, me, pid, ptype, alive, cells_l,
+                     cell_table, min_extent, dtype):
+    """Point queries over the owning device's centre cell (reference
+    `src/omp/ompsph.hpp:167-186` incl. the Morton-guard quirk), merged across
+    the mesh.  Returns replicated (n_queries, qcap) ids and (n_queries,)
+    counts."""
+    from pbf_sph_tpu.ops.curves import morton_encode3
+
+    sc = spec.scene
+    qcap = sc.query_capacity
+    if sc.n_queries == 0:
+        return (jnp.zeros((0, qcap), jnp.int32), jnp.zeros((0,), jnp.int32))
+    lgrid = spec.grid_local
+    lnx, lny, lnz = lgrid.dims
+    gnx, gny, gnz = spec.grid_global.dims
+    gmaxz = spec.grid_global.maxz
+    D = spec.n_dev
+    out_ids, out_counts = [], []
+    for qi in range(sc.n_queries):
+        scaled = scn["q_point"][qi] / jnp.asarray(spec.scale, dtype) - min_extent
+        qcell = jnp.trunc(scaled / jnp.asarray(spec.h, dtype)).astype(jnp.int32)
+        gdims = jnp.asarray([gnx, gny, gnz], jnp.int32)
+        in_range = ((qcell >= 0) & (qcell < gdims)).all()
+        safe = jnp.where(in_range, qcell, 0)
+        # reference Morton-table guard (single-chip `_queries` parity)
+        zq = morton_encode3(safe[0], safe[1], safe[2])
+        ok = in_range & (zq < gmaxz) & (zq + 1 < gmaxz)
+        owner = jnp.clip(safe[0] // spec.slab_w, 0, D - 1)
+        mine = ok & (owner == me)
+        lx = safe[0] - owner * spec.slab_w + 1       # owned local columns 1..slab_w
+        lin = jnp.where(mine, (lx * lny + safe[1]) * lnz + safe[2], 0)
+        start = jnp.where(mine, cell_table[lin], 0)
+        end = jnp.where(mine, cell_table[lin + 1], 0)
+        idx = start + jnp.arange(qcap, dtype=jnp.int32)
+        m = idx < end
+        idxc = jnp.where(m, idx, 0)
+        keep = m & (ptype[idxc] == FLUID) & alive[idxc]
+        ids_local = jnp.where(keep, pid[idxc] + 1, 0)    # id+1 protocol
+        out_ids.append(jax.lax.psum(ids_local, AXIS) - 1)
+        out_counts.append(
+            jax.lax.psum(jnp.sum(keep).astype(jnp.int32), AXIS)
+        )
+    return jnp.stack(out_ids), jnp.stack(out_counts)
 
 
 def _compact_first(flag, cap: int):
@@ -110,8 +183,12 @@ def _compact_first(flag, cap: int):
 
 
 def build_sharded_step(spec: ShardSpec, mesh: Mesh):
-    """Returns step(state, dyn) -> (state, stats); state arrays are sharded
-    along their last axis (capacity) over mesh axis AXIS."""
+    """Returns step(state, dyn, scn=None) -> (state, stats); state arrays are
+    sharded along their last axis (capacity) over mesh axis AXIS.  Runs the
+    FULL per-frame pipeline of the single-chip step — sources, drains, wells,
+    advect, migration, ghost exchange, diffuse + constraint solve (via the
+    shared `neighbour_phases` pipeline, Pallas kernels when
+    spec.use_pallas), queries, finalise."""
     dtype = jnp.dtype(spec.dtype)
     D = spec.n_dev
     CL = spec.cap_local
@@ -122,7 +199,15 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     lgrid = spec.grid_local
     gny, gnz = spec.grid_global.dims[1], spec.grid_global.dims[2]
 
-    def local_step(state: FluidState, dyn: Dict[str, Any]):
+    local_spec = StepSpec(
+        capacity=CT, cell_capacity=K, grid=lgrid, h=spec.h, scale=spec.scale,
+        iteration=spec.iteration, dtype=spec.dtype, scene=spec.scene,
+        surface=None, strip_capacity=spec.strip_capacity, wcap=spec.wcap,
+        mc_pallas=False,
+    )
+    phases, phases2, _mc = make_phase_objects(local_spec, spec.use_pallas)
+
+    def local_step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
         me = jax.lax.axis_index(AXIS)
         h = spec.h
         scale = jnp.asarray(spec.scale, dtype)
@@ -136,10 +221,28 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         alive = state.alive.at[CL:].set(False)
         state = dataclasses.replace(state, alive=alive)
 
-        # 1. advect
+        def owner_of_x(px_world):
+            gcx = jnp.trunc(
+                jnp.clip(
+                    (px_world / scale - min_extent[0]) / jnp.asarray(h, dtype),
+                    -2e9, 2e9,
+                )
+            ).astype(jnp.int32)
+            return jnp.clip(gcx // spec.slab_w, 0, D - 1)
+
+        # 0a. sources: only the device owning the spawn x-cell spawns
+        state, src_dropped = _apply_sources(
+            state, scn, local_spec, dtype,
+            accept=lambda spawn_pos: owner_of_x(spawn_pos[0]) == me,
+            slot_limit=CL,
+        )
+        # 0b. drains (position-based, purely local)
+        state = _apply_drains(state, scn, local_spec)
+
+        # 1. advect (wells are replicated force fields — purely local)
         vel, pstar = pbf.advect(
             state.position, state.velocity, state.mass, state.ptype, state.alive,
-            jnp.zeros((0, 3), dtype), jnp.zeros((0,), dtype),
+            scn["wells_centre"], scn["wells_force"],
             dyn["constant_force"].astype(dtype), dt, scale,
         )
 
@@ -282,7 +385,6 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         member = key < lgrid.ncells
 
         cell_table = build_cell_table(key, lgrid)
-        ranges = stencil_ranges(cells_l, member, cell_table, lgrid)
 
         # sorted positions of the ghost slots + of our boundary particles
         ghost_pos_l = inv[CL : CL + H]
@@ -290,11 +392,16 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         bpos_l = inv[idx_bl]
         bpos_r = inv[idx_br]
 
-        # 5. diffuse
-        colour = pbf.diffuse(colour, ptype, alive, ranges, K, dt)
+        # 4b. point queries: the owning device scans its centre cell, results
+        # are merged across the mesh with a psum (id+1 protocol: non-owners
+        # contribute 0, empty slots decode back to -1)
+        q_ids, q_counts = _sharded_queries(
+            spec, scn, me, pid, ptype, alive, cells_l, cell_table, min_extent, dtype
+        )
 
-        # 6. constraint solve with per-iteration halo refresh
-        def refresh(arr1d, bpos_l, bpos_r, ghost_pos_l, ghost_pos_r):
+        # 5-6. diffuse + constraint solve — the single-chip phase pipeline
+        # (Pallas kernels when spec.use_pallas) with per-iteration halo hooks
+        def refresh(arr1d):
             to_l = arr1d[bpos_l]
             to_r = arr1d[bpos_r]
             from_l = jax.lax.ppermute(to_r, AXIS, _perm(D, +1))
@@ -308,15 +415,16 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             )
             return arr1d
 
-        for _ in range(spec.iteration):
-            lam = pbf.lambda_phase(pstar, mass, ptype, alive, ranges, K, h)
-            lam = refresh(lam, bpos_l, bpos_r, ghost_pos_l, ghost_pos_r)
-            pstar = pbf.delta_phase(
-                pstar, lam, ptype, alive, ranges, K, h, scale, min_bound, max_bound
-            )
-            pstar = jnp.stack(
-                [refresh(pstar[a], bpos_l, bpos_r, ghost_pos_l, ghost_pos_r) for a in range(3)]
-            )
+        def refresh_pstar(ps):
+            return jnp.stack([refresh(ps[a]) for a in range(3)])
+
+        colour, pstar, strip_ovf, wcap_ovf = neighbour_phases(
+            phases, phases2, lgrid, K, h, spec.iteration, dtype,
+            key, cell_table, cells_l, member,
+            colour, pstar, mass, ptype, alive,
+            dt, scale, min_bound, max_bound,
+            refresh_lam=refresh, refresh_pstar=refresh_pstar,
+        )
 
         # 7. finalise; drop ghosts
         new_pos, new_vel = pbf.finalise(position, vel, pstar, ptype, alive, dt, scale, dtype)
@@ -327,12 +435,21 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             pid=pid, ptype=ptype, mass=mass,
             position=new_pos, velocity=new_vel, colour=colour, alive=alive,
         )
+        total_spawn = spec.scene.total_spawn
+        spawned = jax.lax.psum(
+            jnp.asarray(total_spawn, jnp.int32) - src_dropped, AXIS
+        )
         stats = dict(
             alive_count=jnp.sum(alive).astype(jnp.int32)[None],
             migrate_dropped=(drop_l + drop_r).astype(jnp.int32)[None],
             ghost_dropped=(
                 jnp.maximum(jnp.sum(bl) - H, 0) + jnp.maximum(jnp.sum(br) - H, 0)
             ).astype(jnp.int32)[None],
+            spawn_dropped=(jnp.asarray(total_spawn, jnp.int32) - spawned)[None],
+            strip_overflow=strip_ovf[None],
+            wcap_overflow=wcap_ovf[None],
+            query_ids=q_ids,
+            query_counts=q_counts,
         )
         return new_state, stats
 
@@ -345,18 +462,40 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         dt=P(), min_bound=P(), max_bound=P(), constant_force=P(),
         mc_isolevel=P(), mc_particle_size=P(), mc_particle_influence=P(),
     )
+    scn_specs = dict(
+        wells_centre=P(), wells_force=P(), src_centre=P(), src_velocity=P(),
+        src_colour=P(), src_tag=P(), drain_centre=P(), drain_width=P(),
+        q_point=P(), q_id=P(),
+    )
     stats_specs = dict(
-        alive_count=P(AXIS), migrate_dropped=P(AXIS), ghost_dropped=P(AXIS)
+        alive_count=P(AXIS), migrate_dropped=P(AXIS), ghost_dropped=P(AXIS),
+        spawn_dropped=P(AXIS), strip_overflow=P(AXIS), wcap_overflow=P(AXIS),
+        query_ids=P(), query_counts=P(),
     )
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_specs, dyn_specs),
+        in_specs=(state_specs, dyn_specs, scn_specs),
         out_specs=(state_specs, stats_specs),
         check_vma=False,
+    ))
+
+    from pbf_sph_tpu.models.jax_solver import scene_arrays_of
+
+    empty_scn = scene_arrays_of(Scene(), spec.scene, np.dtype(spec.dtype))
+    has_scene = (
+        spec.scene.n_wells or spec.scene.total_spawn or spec.scene.n_drains
+        or spec.scene.n_queries
     )
-    return jax.jit(fn)
+
+    def step(state, dyn, scn=None):
+        if scn is None:
+            assert not has_scene, "spec has scene objects; pass scn arrays"
+            scn = empty_scn
+        return fn(state, dyn, scn)
+
+    return step
 
 
 def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
@@ -387,7 +526,7 @@ def distribute_particles(soa, spec: ShardSpec, dtype=np.float32) -> FluidState:
     # owner by current position's global x-cell (pre-advect approximation;
     # migration fixes any edge case on the first step)
     states = []
-    min_ext_x = np.float32(0.0) / scale - h * 2  # min_bound.x assumed 0 at setup
+    min_ext_x = np.float32(spec.min_bound_x) / scale - h * 2
     gcx = np.trunc((soa.position[:, 0].astype(f) / scale - min_ext_x) / h).astype(np.int64)
     owner = np.clip(gcx // spec.slab_w, 0, spec.n_dev - 1)
     from pbf_sph_tpu.core.types import FluidState as FS, ParticleSoA

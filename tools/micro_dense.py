@@ -353,6 +353,146 @@ def main():
     dt = run(k_slab, (NSUB, SUB, 4), rows, cands)
     report("h) full-slab one shot", dt)
 
+    # i) TWO sub-blocks interleaved per fori iteration: independent dependency
+    # chains double the ILP the scheduler can exploit
+    def k_il2(nch_ref, rows_ref, cands_ref, out_ref):
+        def step(r, c0):
+            for t in range(0, NSUB, 2):
+                axs, ays, azs = [], [], []
+                for q in range(2):
+                    axs.append(rows_ref[t + q, :, 0:1])
+                    ays.append(rows_ref[t + q, :, 1:2])
+                    azs.append(rows_ref[t + q, :, 2:3])
+
+                def chunk(c, carry):
+                    ca, cb = carry
+                    outc = []
+                    for q, cq in enumerate((ca, cb)):
+                        o = pl.multiple_of((t + q) * WCAP + c * W, W)
+                        bx = cands_ref[0, pl.ds(o, W)].reshape(1, W)
+                        by = cands_ref[1, pl.ds(o, W)].reshape(1, W)
+                        bz = cands_ref[2, pl.ds(o, W)].reshape(1, W)
+                        outc.append(chunk_math(axs[q], ays[q], azs[q], bx, by, bz, cq))
+                    return tuple(outc)
+
+                zero = jnp.zeros((SUB, W), jnp.float32)
+                z4 = (zero, zero, zero, zero)
+                carry = jax.lax.fori_loop(0, nch_ref[0, t], chunk, (z4, z4))
+                finish(out_ref, t, carry[0])
+                finish(out_ref, t + 1, carry[1])
+            return c0 + 1
+        jax.lax.fori_loop(0, REP, step, 0)
+
+    dt = run(k_il2, (NSUB, SUB, 4), nchunk, rows, cands, smem_idx=(0,))
+    report("i) interleave x2     ", dt)
+
+    # j) interleave x2, unrolled x2 chunks (4 independent chunk bodies/iter)
+    def k_il2u2(nch_ref, rows_ref, cands_ref, out_ref):
+        def step(r, c0):
+            for t in range(0, NSUB, 2):
+                axs = [rows_ref[t + q, :, 0:1] for q in range(2)]
+                ays = [rows_ref[t + q, :, 1:2] for q in range(2)]
+                azs = [rows_ref[t + q, :, 2:3] for q in range(2)]
+
+                def chunk(c, carry):
+                    ca, cb = carry
+                    news = []
+                    for q, cq in enumerate((ca, cb)):
+                        for u in range(2):
+                            o = pl.multiple_of(
+                                (t + q) * WCAP + (2 * c + u) * W, W)
+                            bx = cands_ref[0, pl.ds(o, W)].reshape(1, W)
+                            by = cands_ref[1, pl.ds(o, W)].reshape(1, W)
+                            bz = cands_ref[2, pl.ds(o, W)].reshape(1, W)
+                            cq = chunk_math(axs[q], ays[q], azs[q], bx, by, bz, cq)
+                        news.append(cq)
+                    return tuple(news)
+
+                zero = jnp.zeros((SUB, W), jnp.float32)
+                z4 = (zero, zero, zero, zero)
+                carry = jax.lax.fori_loop(0, nch_ref[0, t] // 2, chunk, (z4, z4))
+                finish(out_ref, t, carry[0])
+                finish(out_ref, t + 1, carry[1])
+            return c0 + 1
+        jax.lax.fori_loop(0, REP, step, 0)
+
+    dt = run(k_il2u2, (NSUB, SUB, 4), nchunk, rows, cands, smem_idx=(0,))
+    report("j) interleave2 unrol2", dt)
+
+    # k) candidates in manually-DMA'd SCRATCH (v1's structure) + unrolled —
+    # isolates pipelined-input-block loads vs scratch loads
+    def k_scr(rows_ref, cands_any, out_ref, cbuf, sem):
+        pltpu.make_async_copy(cands_any, cbuf, sem).start()
+        pltpu.make_async_copy(cands_any, cbuf, sem).wait()
+
+        def step(r, c0):
+            for t in range(NSUB):
+                ax = rows_ref[t, :, 0:1]
+                ay = rows_ref[t, :, 1:2]
+                az = rows_ref[t, :, 2:3]
+                zero = jnp.zeros((SUB, W), jnp.float32)
+                carry = (zero, zero, zero, zero)
+                for c in range(NCH):
+                    o = t * WCAP + c * W
+                    bx = cbuf[0, pl.ds(o, W)].reshape(1, W)
+                    by = cbuf[1, pl.ds(o, W)].reshape(1, W)
+                    bz = cbuf[2, pl.ds(o, W)].reshape(1, W)
+                    carry = chunk_math(ax, ay, az, bx, by, bz, carry)
+                finish(out_ref, t, carry)
+            return c0 + 1
+        jax.lax.fori_loop(0, REP, step, 0)
+
+    f = jax.jit(lambda *a: pl.pallas_call(
+        k_scr,
+        out_shape=jax.ShapeDtypeStruct((NSUB, SUB, 4), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, NSUB * WCAP), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )(*a))
+    dt = timed(f, rows, cands)
+    report("k) scratch cands unrl", dt)
+
+    # l) v1-style full mask math (sqrt + where masks, ~40 ops) unrolled, from
+    # the pipelined input block — calibrates v1's per-slot rate in this rig
+    acl_rows = jnp.asarray(rng.uniform(0, 1000, (NSUB, SUB, 8)).astype(np.float32))
+
+    def k_v1m(rows_ref, cands_ref, out_ref):
+        eps = np.float32(1e-8)
+
+        def step(r, c0):
+            for t in range(NSUB):
+                ax = rows_ref[t, :, 0:1]
+                ay = rows_ref[t, :, 1:2]
+                az = rows_ref[t, :, 2:3]
+                acl = rows_ref[t, :, 3:4]
+                zero = jnp.zeros((SUB, W), jnp.float32)
+                p6s, gx, gy, gz = zero, zero, zero, zero
+                for c in range(NCH):
+                    o = t * WCAP + c * W
+                    bx = cands_ref[0, pl.ds(o, W)].reshape(1, W)
+                    by = cands_ref[1, pl.ds(o, W)].reshape(1, W)
+                    bz = cands_ref[2, pl.ds(o, W)].reshape(1, W)
+                    bcl = bx + by
+                    m = jnp.abs(bcl - acl) <= 1.0
+                    dx = ax - bx
+                    dy = ay - by
+                    dz = az - bz
+                    r2 = dx * dx + dy * dy + dz * dz
+                    p6 = jnp.where(m & (r2 <= hh), (hh - r2) ** 3, 0.0)
+                    rr_ = jnp.sqrt(r2)
+                    ok = m & (rr_ >= eps) & (rr_ <= hf)
+                    rs = jnp.where(ok, rr_, 1.0)
+                    sg = jnp.where(ok, (hf - rs) ** 2 / rs, 0.0)
+                    p6s, gx, gy, gz = p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg
+                finish(out_ref, t, (p6s, gx, gy, gz))
+            return c0 + 1
+        jax.lax.fori_loop(0, REP, step, 0)
+
+    dt = run(k_v1m, (NSUB, SUB, 4), acl_rows, cands)
+    report("l) v1-mask math unrl ", dt)
+
 
 if __name__ == "__main__":
     main()
