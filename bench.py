@@ -43,16 +43,25 @@ def main() -> int:
     spec, state, scn = solver.prepare(cfg, Scene(), xs)
     dyn = dyn_params_of(cfg, solver.dtype)
 
-    # compile + settle; track occupancy/strip overflow so capacities are honest
+    # compile + settle; track occupancy/strip overflow so capacities are
+    # honest.  A capacity overflow means dropped candidates => corrupted
+    # physics, so on ANY overflow the warmup round restarts from a FRESH
+    # state — never settle on frames computed with dropped pairs (the
+    # corrupted state collapses and inflates every capacity estimate).
     import dataclasses
 
-    for _round in range(4):
+    from pbf_sph_tpu.core.types import FluidState
+
+    for _round in range(6):
         occs, ovfs, wovfs = [], [], []
+        grew = False
         for _ in range(warmup):
             state, out = solver.step_device(spec, state, dyn, scn)
             occs.append(out["max_occupancy"])
             ovfs.append(out["strip_overflow"])
             wovfs.append(out.get("wcap_overflow", 0))
+            if int(ovfs[-1]) > 0 or int(wovfs[-1]) > 0:
+                break  # stop the round early; state is already suspect
         occ = int(max(int(o) for o in occs))
         ovf = int(max(int(o) for o in ovfs))
         wovf = int(max(int(o) for o in wovfs))
@@ -65,8 +74,13 @@ def main() -> int:
             else:
                 from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
-            changes["strip_capacity"] = grown_strip_capacity(spec, ovf)
-        if wovf > 0:
+            new_s = grown_strip_capacity(spec, ovf)
+            if getattr(spec, "pallas_v2", False) and new_s == spec.strip_capacity:
+                changes["pallas_v2"] = False  # capped; use v1 strip kernels
+                changes["strip_capacity"] = 0
+            else:
+                changes["strip_capacity"] = new_s
+        if wovf > 0 and changes.get("pallas_v2", True):
             from pbf_sph_tpu.ops.pallas_pbf2 import default_wcap, grown_wcap
 
             new_w = grown_wcap(spec.wcap or default_wcap(), wovf)
@@ -78,6 +92,10 @@ def main() -> int:
             break
         print(f"# growing: {changes}", file=sys.stderr)
         spec = dataclasses.replace(spec, **changes)
+        # restart from the pristine initial state
+        import jax as _jax
+
+        state = _jax.device_put(FluidState.from_soa(xs, spec.capacity, solver.dtype))
 
     t0 = time.perf_counter()
     outs = []

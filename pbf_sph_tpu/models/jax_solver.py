@@ -286,14 +286,9 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
     if spec.pallas_v2:
         from pbf_sph_tpu.ops import pallas_pbf2
 
-        # v2 uses ONE union strip spanning the v1 design's three dx-strips;
-        # at production scale the union covers ~2 x-planes of particles, so
-        # default to 3x the per-strip capacity
-        usmax = strip_capacity or spec.strip_capacity or (3 * smax)
-        usmax = min(-(-usmax // 128) * 128, spec.capacity)
         wcap = spec.wcap or pallas_pbf2.default_wcap()
         phases2 = pallas_pbf2.PallasPhases2(
-            spec.capacity, spec.grid, spec.h, usmax, wcap, interpret=interp
+            spec.capacity, spec.grid, spec.h, smax, wcap, interpret=interp
         )
     else:
         phases = pallas_pbf.PallasPhases(
@@ -679,6 +674,7 @@ class JaxSolver(Solver):
             if need_t:
                 surface = dataclasses.replace(surface, tri_capacity=-(-tri_count // 1024) * 1024)
             new_s = spec.strip_capacity
+            pallas_v2 = spec.pallas_v2
             if need_s:
                 if spec.pallas_v2:
                     from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity
@@ -686,8 +682,12 @@ class JaxSolver(Solver):
                     from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
                 new_s = grown_strip_capacity(spec, strip_ovf)
+                if pallas_v2 and new_s == spec.strip_capacity:
+                    # pinned at the VMEM-safe union-strip cap and still
+                    # overflowing: fall back to the v1 per-dx strips
+                    pallas_v2 = False
+                    new_s = 0
             new_w = spec.wcap
-            pallas_v2 = spec.pallas_v2
             if need_w:
                 from pbf_sph_tpu.ops.pallas_pbf2 import (
                     WCAP_MAX, default_wcap, grown_wcap,

@@ -66,13 +66,17 @@ BLK = 1024          # rows per grid step (block)
 SUB = 32            # rows per sub-block (one compacted candidate slab each)
 NSUB = BLK // SUB
 WCOL = 128          # lane count
+UNROLL = 4          # chunks per dense-kernel loop iteration (statically
+                    # unrolled; compaction pads to a multiple with SENTINEL)
 NPIECES = 4         # gap-split pieces per sub-block (top NPIECES-1 cell gaps)
 NIV = 9 * NPIECES   # stencil intervals per sub-block after gap splitting
-# Hard VMEM bound on the candidate slab: the compact/dense kernels' VMEM
-# blocks scale with wcap (out block ~ 2 * nf * NSUB * wcap * 4B), so growth
-# beyond this must fall back to the v1 strip-window kernels instead of
-# recompiling toward a scoped-vmem OOM.
+# Hard VMEM bounds: the compact/dense kernels' VMEM blocks scale with wcap
+# (out block ~ 2 * nf * NSUB * wcap * 4B) and the compact scratch with the
+# union-strip capacity (2 * nf_dma * smax * 4B), so growth beyond these must
+# fall back to the v1 strip-window kernels instead of recompiling toward a
+# scoped-vmem OOM.
 WCAP_MAX = 5120
+STRIP_MAX = 24576
 SENTINEL = np.float32(1.0e9)
 
 
@@ -91,20 +95,21 @@ def default_wcap() -> int:
 
 
 def grown_wcap(wcap: int, overflow: int) -> int:
-    need = wcap + int(overflow)
-    return min(-(-need // 128) * 128 + 128, WCAP_MAX)
+    g = UNROLL * WCOL
+    need = wcap + int(overflow) + g
+    return min(-(-need // g) * g, WCAP_MAX)
 
 
 def grown_strip_capacity(step_spec, overflow: int) -> int:
-    """Next union-strip capacity after an overflow of `overflow` columns
-    (v2's strip is the union of v1's three dx-strips, so its default base is
-    3x the per-strip default)."""
+    """Next per-dx-strip capacity after an overflow of `overflow` columns.
+    Capped at the VMEM-safe STRIP_MAX; a capped value that still overflows
+    triggers the v1 fallback in the callers."""
     nz = step_spec.grid.dims[2]
-    base = step_spec.strip_capacity or 3 * max(
+    base = step_spec.strip_capacity or max(
         8192, -(-(nz * 48 * 2) // 128) * 128
     )
     need = base + int(overflow)
-    return min(-(-need // 2048) * 2048 + 2048, step_spec.capacity)
+    return min(-(-need // 2048) * 2048 + 2048, step_spec.capacity, STRIP_MAX)
 
 
 def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
@@ -119,12 +124,14 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
         sstart (nblocks,) int32: 128-aligned union-strip start columns)
       overflows = dict(strip_overflow, wcap_overflow) int32
 
-    The per-block source window is ONE contiguous union strip spanning
-    [table[cmin_b - nynz - nz - 1], table[cmax_b + nynz + nz + 2]) — the hull
-    of the v1 design's three dx-strips.  At production scale the three strips
-    nearly abut (the inter-strip gap holds the same x-plane's own particles),
-    so the union costs no extra DMA traffic and removes the dynamic strip
-    index from the copy kernel's inner loop.
+    The per-block source windows are THREE per-dx strips (as in the v1
+    design): a single union strip spanning all three was tried and measured
+    9x the DMA traffic — at production occupancy the inter-strip gap holds
+    ~38k particles per x-plane (tools note in BENCHMARKS.md).  Chunk dedup
+    runs globally on ABSOLUTE chunk indices (strip starts are 128-aligned,
+    so chunks from different strips are comparable); an emitted chunk can
+    extend up to WCOL-1 columns past its strip's content, which the overflow
+    check's one-chunk margin keeps inside the DMA window.
     """
     C = capacity
     assert C % BLK == 0
@@ -140,17 +147,25 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     cmin = lin[0::SUB]                      # (nsub,)
     cmax = lin[SUB - 1 :: SUB]
 
-    # per-block union-strip start (128-aligned) + content range
+    # per-block per-dx strip starts (128-aligned) + content ranges
     cmin_b = cmin.reshape(nblocks, NSUB)[:, 0]
     cmax_b = cmax.reshape(nblocks, NSUB)[:, -1]
     nsub = cmin.shape[0]
-    lo_cell_b = jnp.clip(cmin_b - nynz - nz - 1, 0, ncells)
-    hi_cell_b = jnp.clip(cmax_b + nynz + nz + 2, 0, ncells)
-    sstart = cell_table[lo_cell_b].astype(jnp.int32)        # (nblocks,)
-    send = cell_table[hi_cell_b].astype(jnp.int32)
+    sstarts, sends = [], []
+    for dx in (-1, 0, 1):
+        lo_cell_b = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
+        hi_cell_b = jnp.clip(cmax_b + dx * nynz + nz + 2, 0, ncells)
+        sstarts.append(cell_table[lo_cell_b])
+        sends.append(cell_table[hi_cell_b])
+    sstart = jnp.stack(sstarts, axis=1).astype(jnp.int32)   # (nblocks, 3)
+    send = jnp.stack(sends, axis=1).astype(jnp.int32)
     sstart_al = (sstart // WCOL) * WCOL
     sstart_al = jnp.minimum(sstart_al, max(C - smax, 0)).astype(jnp.int32)
-    strip_overflow = jnp.maximum(jnp.max(send - sstart_al) - smax, 0).astype(jnp.int32)
+    # one-chunk margin: emitted boundary chunks may extend <= WCOL-1 columns
+    # past a strip's content (cross-strip chunk dedup)
+    strip_overflow = jnp.maximum(
+        jnp.max(send - sstart_al) - (smax - WCOL), 0
+    ).astype(jnp.int32)
 
     # Gap-split each sub-block's sorted cell range into NPIECES pieces at its
     # top NPIECES-1 cell-id gaps.  The convex hull [cmin+off, cmax+off] alone
@@ -175,7 +190,7 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     pmax = jnp.take_along_axis(linr, ends, axis=1)
 
     # NIV raw intervals per sub-block (piece x stencil offset)
-    los, his = [], []
+    los, his, strips = [], [], []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             off = dx * nynz + dy * nz
@@ -184,8 +199,12 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
                 hi_cell = jnp.clip(pmax[:, g] + off + 2, 0, ncells)
                 los.append(cell_table[lo_cell])
                 his.append(cell_table[hi_cell])
+                strips.append(dx + 1)
     lo = jnp.stack(los, axis=1)             # (nsub, NIV) absolute columns
     hi = jnp.stack(his, axis=1)
+    strip_of = jnp.broadcast_to(
+        jnp.asarray(strips, jnp.int32)[None, :], lo.shape
+    )
 
     # Sort intervals by lo per sub-block so the running-max clip below yields
     # DISJOINT intervals covering the union exactly once: for monotone los,
@@ -195,6 +214,7 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     order = jnp.argsort(lo, axis=1)
     lo = jnp.take_along_axis(lo, order, axis=1)
     hi = jnp.take_along_axis(hi, order, axis=1)
+    strip_of = jnp.take_along_axis(strip_of, order, axis=1)
 
     parts_lo, parts_len = [], []
     rh = None
@@ -226,14 +246,21 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
         prev_end = pe if prev_end is None else jnp.maximum(prev_end, pe)
     srcc0_abs = jnp.stack(parts_a, axis=1)                   # (nsub, NIV)
     k = jnp.stack(parts_k, axis=1)
-    base_b = jnp.repeat(sstart_al // WCOL, NSUB)             # (nsub,)
-    srcc0 = srcc0_abs - base_b[:, None]                      # strip-relative
+    base = jnp.take_along_axis(
+        jnp.repeat(sstart_al // WCOL, NSUB, axis=0), strip_of, axis=1
+    )                                                        # (nsub, NIV)
+    srcc0 = srcc0_abs - base                                 # strip-relative
 
     dstc0 = jnp.cumsum(k, axis=1) - k                        # (nsub, NIV)
     nchunk = (dstc0[:, -1] + k[:, -1]).astype(jnp.int32)     # (nsub,)
     cmax_chunks = wcap // WCOL
-    wcap_overflow = jnp.maximum(jnp.max(nchunk) - cmax_chunks, 0).astype(jnp.int32) * WCOL
+    # the dense kernels run UNROLL chunks per loop iteration; the compaction
+    # kernel pads [nchunk, nchunkp) with SENTINEL columns, so overflow is
+    # judged on the padded count
+    nchunkp = -(-nchunk // UNROLL) * UNROLL
+    wcap_overflow = jnp.maximum(jnp.max(nchunkp) - cmax_chunks, 0).astype(jnp.int32) * WCOL
     nchunk = jnp.minimum(nchunk, cmax_chunks)
+    nchunkp = jnp.minimum(nchunkp, cmax_chunks)
 
     # flat per-dst-chunk source map via scatter-max + cummax (O(NIV + J) per
     # sub-block, vs the O(NIV*J) one-hot pick): owner interval of dst chunk j
@@ -246,12 +273,12 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     i_of_j = jnp.maximum(jax.lax.cummax(scat, axis=1), 0)    # (nsub, J)
     srcc0_j = jnp.take_along_axis(srcc0, i_of_j, axis=1)
     dstc0_j = jnp.take_along_axis(dstc0, i_of_j, axis=1)
+    strip_j = jnp.take_along_axis(strip_of, i_of_j, axis=1)
     j_idx = jnp.arange(cmax_chunks, dtype=jnp.int32)[None, :]
-    chunkmeta = jnp.clip(
-        srcc0_j + (j_idx - dstc0_j), 0, smax // WCOL - 1
-    ).astype(jnp.int32)                                      # (nsub, J)
+    src_chunk = jnp.clip(srcc0_j + (j_idx - dstc0_j), 0, smax // WCOL - 1)
+    chunkmeta = (strip_j * 8192 + src_chunk).astype(jnp.int32)  # (nsub, J)
 
-    wins = dict(meta=chunkmeta, nchunk=nchunk, sstart=sstart_al)
+    wins = dict(meta=chunkmeta, nchunk=nchunk, nchunkp=nchunkp, sstart=sstart_al)
     overflows = dict(
         strip_overflow=strip_overflow,
         wcap_overflow=wcap_overflow,
@@ -264,27 +291,29 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
 # ---------------------------------------------------------------------------
 
 
-def _issue_strip(p_hbm, sbuf, sems, slot, sstart_ref, b, smax):
-    start = pl.multiple_of(sstart_ref[b], WCOL)
-    pltpu.make_async_copy(
-        p_hbm.at[:, pl.ds(start, smax)], sbuf.at[slot], sems.at[slot]
-    ).start()
+def _issue_strips(p_hbm, sbuf, sems, slot, sstart_ref, b, smax):
+    for st in range(3):
+        start = pl.multiple_of(sstart_ref[b, st], WCOL)
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(start, smax)], sbuf.at[slot, st], sems.at[slot, st]
+        ).start()
 
 
-def _wait_strip(p_hbm, sbuf, sems, slot, smax):
-    pltpu.make_async_copy(
-        p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot], sems.at[slot]
-    ).wait()
+def _wait_strips(p_hbm, sbuf, sems, slot, smax):
+    for st in range(3):
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot, st], sems.at[slot, st]
+        ).wait()
 
 
 def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
     """Compact nf fields from the sorted particle array into dense per-sub-
     block candidate slabs: (nf, C) -> (nf, (C//SUB) * WCAP).
 
-    Pure indexed chunk copy: slab chunk j of sub-block t is union-strip chunk
-    `meta[t, j]`, verbatim — one (nf, 128) tile copy per chunk.  No rotates,
-    no read-modify-writes, no masks (see module docstring for why spilled
-    head/tail lanes are safe)."""
+    Pure indexed chunk copy: slab chunk j of sub-block t is chunk
+    `meta[t, j] % 8192` of strip `meta[t, j] // 8192`, verbatim — one
+    (nf, 128) tile copy per chunk.  No rotates, no read-modify-writes, no
+    masks (see module docstring for why spilled head/tail lanes are safe)."""
     smax = plan.smax
     wcap = plan.wcap
     nblocks = plan.nblocks
@@ -293,30 +322,41 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
     # pad the DMA'd field count to the f32 sublane tile
     nf_dma = -(-nf // 4) * 4
 
-    def kernel(sstart, meta, nchunk, p_any, out, sbuf, sems):
+    def kernel(sstart, meta, nchunk, nchunkp, p_any, out, sbuf, sems):
         b = pl.program_id(0)
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b == 0)
         def _():
-            _issue_strip(p_any, sbuf, sems, 0, sstart, 0, smax)
+            _issue_strips(p_any, sbuf, sems, 0, sstart, 0, smax)
 
         @pl.when(b + 1 < nblocks)
         def _():
-            _issue_strip(p_any, sbuf, sems, 1 - slot, sstart,
-                         jnp.minimum(b + 1, nblocks - 1), smax)
+            _issue_strips(p_any, sbuf, sems, 1 - slot, sstart,
+                          jnp.minimum(b + 1, nblocks - 1), smax)
 
-        _wait_strip(p_any, sbuf, sems, slot, smax)
+        _wait_strips(p_any, sbuf, sems, slot, smax)
 
+        blank = jnp.full((nf, WCOL), SENTINEL, jnp.float32)
         for t in range(NSUB):  # static
 
             def copy_chunk(j, _):
-                sc = pl.multiple_of(meta[0, 0, t, j] * WCOL, WCOL)
+                m = meta[0, 0, t, j]
+                st = m // 8192
+                sc = pl.multiple_of((m - st * 8192) * WCOL, WCOL)
                 d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
-                out[:, pl.ds(d, WCOL)] = sbuf[slot, 0:nf, pl.ds(sc, WCOL)]
+                out[:, pl.ds(d, WCOL)] = sbuf[slot, st, 0:nf, pl.ds(sc, WCOL)]
+                return 0
+
+            def pad_chunk(j, _):
+                d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
+                out[:, pl.ds(d, WCOL)] = blank
                 return 0
 
             jax.lax.fori_loop(0, nchunk[0, 0, t], copy_chunk, 0)
+            # pad to the dense kernels' UNROLL granularity with SENTINEL
+            # columns (rejected by their own r / cell-band tests)
+            jax.lax.fori_loop(nchunk[0, 0, t], nchunkp[0, 0, t], pad_chunk, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -327,21 +367,24 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
                          memory_space=pltpu.SMEM),                        # meta
             pl.BlockSpec((1, 1, NSUB), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),                        # nchunk
+            pl.BlockSpec((1, 1, NSUB), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                        # nchunkp
             pl.BlockSpec(memory_space=pl.ANY),                           # packed
         ],
         out_specs=pl.BlockSpec((nf, NSUB * wcap), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, nf_dma, smax), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, nf_dma, smax), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
     nsub_total = capacity // SUB
 
-    def call(sstart, meta, nchunk, packed):
+    def call(sstart, meta, nchunk, nchunkp, packed):
         meta_b = meta.reshape(nblocks, 1, NSUB, cmax_chunks)
         nchunk_b = nchunk.reshape(nblocks, 1, NSUB)
+        nchunkp_b = nchunkp.reshape(nblocks, 1, NSUB)
         if nf_dma != nf:
             pad = jnp.zeros((nf_dma - nf, packed.shape[1]), packed.dtype)
             packed = jnp.concatenate([packed, pad])
@@ -350,7 +393,7 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nf, nsub_total * wcap), jnp.float32),
             interpret=interpret,
-        )(sstart, meta_b, nchunk_b, packed)
+        )(sstart, meta_b, nchunk_b, nchunkp_b, packed)
 
     return call
 
@@ -362,19 +405,19 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
 
 def _dense_phase(plan: Plan2Spec, capacity: int, nrow: int, ncand_arrays,
                  nout: int, body_factory, interpret=False):
-    """Shared scaffolding: grid over blocks; per sub-block fori over its
-    compacted candidate chunks; rows pre-transposed to (nsub, SUB, nrow)."""
+    """Shared scaffolding: grid over blocks; per sub-block loop over UNROLL-
+    chunk groups of its compacted candidates; rows (nsub, SUB, nrow)."""
     wcap = plan.wcap
     nsub_total = capacity // SUB
 
     def kernel(*refs):
-        nchunk = refs[0]
+        nchunkp = refs[0]
         rows = refs[1]
         cands = refs[2 : 2 + len(ncand_arrays)]
         out = refs[2 + len(ncand_arrays)]
         body = body_factory()
         for t in range(NSUB):
-            body(t, nchunk, rows, cands, out, wcap)
+            body(t, nchunkp, rows, cands, out, wcap)
 
     in_specs = [
         pl.BlockSpec((1, 1, NSUB), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -387,8 +430,8 @@ def _dense_phase(plan: Plan2Spec, capacity: int, nrow: int, ncand_arrays,
                          memory_space=pltpu.VMEM)
         )
 
-    def call(nchunk, rows, *cands):
-        nchunk = nchunk.reshape(plan.nblocks, 1, NSUB)
+    def call(nchunkp, rows, *cands):
+        nchunkp = nchunkp.reshape(plan.nblocks, 1, NSUB)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -400,14 +443,33 @@ def _dense_phase(plan: Plan2Spec, capacity: int, nrow: int, ncand_arrays,
             ),
             out_shape=jax.ShapeDtypeStruct((nsub_total, SUB, nout), jnp.float32),
             interpret=interpret,
-        )(nchunk, rows, *cands)
+        )(nchunkp, rows, *cands)
 
     return call
 
 
+def _nt_dot(x, y):
+    """(SUB, n) . (k, n) -> (SUB, k), contracting the lane dim (MXU NT)."""
+    return jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def make_lambda2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
-    """rows (nsub,SUB,4)=[psx,psy,psz,mass]; cands (3,*) pstar -> lam.
-    Reference `src/ocl/oclsph_kernel.h:95-123` (restructured, module doc)."""
+    """rows (nsub,SUB,8)=[psx,psy,psz,a2,mass,...]; cands (8,*) packed pstar
+    [-2x,-2y,-2z,b2,one,x,y,z] -> lam.
+
+    Inner-loop structure (micro-validated, tools/micro_dense.py): UNROLL
+    chunks per loop iteration — the dominant win; the per-iteration loop
+    overhead was ~40% of the kernel.  Two MXU factorizations were tried and
+    rejected for precision: r2 = |a|^2+|b|^2-2ab as a K=5 matmul loses ~3
+    digits to cancellation (r ~ 0.1 at |a| ~ 8, breaking the fp32-oracle
+    density fidelity target), and the gradient factorization
+    sum (a-b)*sg = a*sum(sg) - sum(b*sg) blows up on near-coincident pairs
+    where sg ~ 1/r (the unit parity test catches it at 82% mismatch).  Pair
+    math therefore stays exact per-pair on the VPU.  Reference math
+    `src/ocl/oclsph_kernel.h:95-123` (restructured; module docstring
+    documents the fp-divergence conventions)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -415,39 +477,47 @@ def make_lambda2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False)
     eps2 = np.float32(K.EPSILON) ** 2
     rr = np.float32(K.RHO_RECIP)
     cfm = np.float32(K.CFM_EPSILON)
+    GW = UNROLL * WCOL
 
     def body_factory():
-        def body(t, nchunk, rows, cands, out, wcap):
+        def body(t, nchunkp, rows, cands, out, wcap):
             (pc,) = cands
             ax = rows[t, :, 0:1]
             ay = rows[t, :, 1:2]
             az = rows[t, :, 2:3]
 
-            def chunk(c, carry):
-                p6s, gx, gy, gz = carry
-                o = pl.multiple_of(t * wcap + c * WCOL, WCOL)
-                bx = pc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                by = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bz = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                dx = ax - bx
-                dy = ay - by
-                dz = az - bz
-                r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, eps2)
-                u = jax.lax.rsqrt(r2)
-                tt = jnp.maximum(hh - r2, 0.0)
-                p6 = tt * tt * tt
-                t2 = jnp.maximum(hf - r2 * u, 0.0)
-                sg = t2 * t2 * u
-                return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
+            def group(g, carry):
+                p6s, gxa, gya, gza = carry
+                o0 = pl.multiple_of(t * wcap + g * GW, WCOL)
+                for u_ in range(UNROLL):
+                    o = pl.multiple_of(o0 + u_ * WCOL, WCOL)
+                    bx = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    by = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    bz = pc[3, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    dx = ax - bx
+                    dy = ay - by
+                    dz = az - bz
+                    r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, eps2)
+                    u = jax.lax.rsqrt(r2)
+                    tt = jnp.maximum(hh - r2, 0.0)
+                    p6s = p6s + tt * tt * tt
+                    t2 = jnp.maximum(hf - r2 * u, 0.0)
+                    sg = t2 * t2 * u
+                    gxa = gxa + dx * sg
+                    gya = gya + dy * sg
+                    gza = gza + dz * sg
+                return (p6s, gxa, gya, gza)
 
             zero = jnp.zeros((SUB, WCOL), jnp.float32)
-            carry = jax.lax.fori_loop(0, nchunk[0, 0, t], chunk, (zero, zero, zero, zero))
-            p6s = jnp.sum(carry[0], axis=1, keepdims=True)
-            gx = jnp.sum(carry[1], axis=1, keepdims=True)
-            gy = jnp.sum(carry[2], axis=1, keepdims=True)
-            gz = jnp.sum(carry[3], axis=1, keepdims=True)
+            p6s, gxa, gya, gza = jax.lax.fori_loop(
+                0, nchunkp[0, 0, t] // UNROLL, group, (zero, zero, zero, zero)
+            )
+            p6sum = jnp.sum(p6s, axis=1, keepdims=True)
+            gx = jnp.sum(gxa, axis=1, keepdims=True)
+            gy = jnp.sum(gya, axis=1, keepdims=True)
+            gz = jnp.sum(gza, axis=1, keepdims=True)
             mass = rows[t, :, 3:4]
-            rho = mass * (p6s * p6f)
+            rho = mass * (p6sum * p6f)
             c1 = skf * rr
             norm2 = (gx * c1) ** 2 + (gy * c1) ** 2 + (gz * c1) ** 2
             ci = rho * rr - 1.0
@@ -455,13 +525,15 @@ def make_lambda2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False)
 
         return body
 
-    return _dense_phase(plan, capacity, 4, (3,), 1, body_factory, interpret)
+    return _dense_phase(plan, capacity, 4, (4,), 1, body_factory, interpret)
 
 
 def make_delta2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
-    """rows (nsub,SUB,4)=[psx,psy,psz,lam_i]; cands pstar (3,*), lam (1,*)
-    -> dp (nsub,SUB,4) (col 3 zero).  Reference `oclsph_kernel.h:125-151`;
-    the per-iteration bounds clamp runs in the XLA caller."""
+    """rows (nsub,SUB,4)=[psx,psy,psz,lam_i]; cands packed pstar (4,*),
+    lam (1,*) -> dp (nsub,SUB,4) (col 3 zero).  Reference
+    `oclsph_kernel.h:125-151`; the per-iteration bounds clamp runs in the XLA
+    caller.  Same unroll + NT-reduce structure as lambda (see its
+    docstring)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -472,51 +544,59 @@ def make_delta2_call(plan: Plan2Spec, capacity: int, h: float, interpret=False):
     inv_p6dq = np.float32(p6f / p6dq)
     corr_k = np.float32(-K.CORR_K)
     rr = np.float32(K.RHO_RECIP)
+    GW = UNROLL * WCOL
 
     def body_factory():
-        def body(t, nchunk, rows, cands, out, wcap):
+        def body(t, nchunkp, rows, cands, out, wcap):
             pc, lc = cands
             ax = rows[t, :, 0:1]
             ay = rows[t, :, 1:2]
             az = rows[t, :, 2:3]
             alam = rows[t, :, 3:4]
 
-            def chunk(c, carry):
+            def group(g, carry):
                 dxs, dys, dzs = carry
-                o = pl.multiple_of(t * wcap + c * WCOL, WCOL)
-                bx = pc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                by = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bz = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                blam = lc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                dx = ax - bx
-                dy = ay - by
-                dz = az - bz
-                r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, eps2)
-                u = jax.lax.rsqrt(r2)
-                tt = jnp.maximum(hh - r2, 0.0)
-                xq = (tt * tt * tt) * inv_p6dq
-                x2 = xq * xq
-                factor = (alam + blam + corr_k * (x2 * x2)) * rr
-                t2 = jnp.maximum(hf - r2 * u, 0.0)
-                sg = (t2 * t2 * u) * skf * factor
-                return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
+                o0 = pl.multiple_of(t * wcap + g * GW, WCOL)
+                for u_ in range(UNROLL):
+                    o = pl.multiple_of(o0 + u_ * WCOL, WCOL)
+                    bx = pc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    by = pc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    bz = pc[3, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    blam = lc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    dx = ax - bx
+                    dy = ay - by
+                    dz = az - bz
+                    r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, eps2)
+                    u = jax.lax.rsqrt(r2)
+                    tt = jnp.maximum(hh - r2, 0.0)
+                    xq = (tt * tt * tt) * inv_p6dq
+                    x2 = xq * xq
+                    factor = (alam + blam + corr_k * (x2 * x2)) * rr
+                    t2 = jnp.maximum(hf - r2 * u, 0.0)
+                    sg = (t2 * t2 * u) * skf * factor
+                    dxs = dxs + dx * sg
+                    dys = dys + dy * sg
+                    dzs = dzs + dz * sg
+                return (dxs, dys, dzs)
 
             zero = jnp.zeros((SUB, WCOL), jnp.float32)
-            carry = jax.lax.fori_loop(0, nchunk[0, 0, t], chunk, (zero, zero, zero))
-            out[t, :, 0:1] = jnp.sum(carry[0], axis=1, keepdims=True)
-            out[t, :, 1:2] = jnp.sum(carry[1], axis=1, keepdims=True)
-            out[t, :, 2:3] = jnp.sum(carry[2], axis=1, keepdims=True)
+            dxs, dys, dzs = jax.lax.fori_loop(
+                0, nchunkp[0, 0, t] // UNROLL, group, (zero, zero, zero)
+            )
+            out[t, :, 0:1] = jnp.sum(dxs, axis=1, keepdims=True)
+            out[t, :, 1:2] = jnp.sum(dys, axis=1, keepdims=True)
+            out[t, :, 2:3] = jnp.sum(dzs, axis=1, keepdims=True)
             out[t, :, 3:4] = jnp.zeros((SUB, 1), jnp.float32)
 
         return body
 
-    return _dense_phase(plan, capacity, 4, (3, 1), 4, body_factory, interpret)
+    return _dense_phase(plan, capacity, 4, (4, 1), 4, body_factory, interpret)
 
 
 def make_diffuse2_call(plan: Plan2Spec, capacity: int, grid: GridSpec,
                        interpret=False):
-    """rows (nsub,SUB,4)=[acl,0,0,0]; cands (8,*)=[cr,cg,cb,ca,w,bcl,0,0]
-    -> (nsub,SUB,8)=[sum_r,g,b,a,count,0,0,0].
+    """rows (nsub,SUB,4)=[acl,0,0,0]; cands (4,*)=[cr,cg,cb,ca] and
+    (4,*)=[w,bcl,0,0] -> (nsub,SUB,8)=[sum_r,g,b,a,count,0,0,0].
 
     Exact 27-cell adjacency via a two-level band test on the linear cell id
     (reference `oclsph_kernel.h:67-93`): e = bcl - acl is accepted iff
@@ -524,46 +604,51 @@ def make_diffuse2_call(plan: Plan2Spec, capacity: int, grid: GridSpec,
     min(|g1-nz|, g1) <= 1.  The test is alias-free for all reachable states:
     a false accept needs a pair spanning nearly a full grid axis inside one
     stencil window, which the 2h bounds padding makes unpopulated.
-    `w` carries the reference's non-obstacle weight."""
+    `w` carries the reference's non-obstacle weight.  The weighted colour
+    sums reduce per UNROLL-chunk group with one NT matmul against the
+    [cr,cg,cb,ca,w] slab rows."""
     nx, ny, nz = grid.dims
     nynz = np.float32(ny * nz)
     nzf = np.float32(nz)
+    GW = UNROLL * WCOL
 
     def body_factory():
-        def body(t, nchunk, rows, cands, out, wcap):
-            (cc,) = cands
+        def body(t, nchunkp, rows, cands, out, wcap):
+            cc, wc = cands
             acl = rows[t, :, 0:1]
 
-            def chunk(c, carry):
-                sr, sg_, sb_, sa, cnt = carry
-                o = pl.multiple_of(t * wcap + c * WCOL, WCOL)
-                cr = cc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                cg = cc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
-                cb = cc[2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                ca = cc[3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                w = cc[4, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bcl = cc[5, pl.ds(o, WCOL)].reshape(1, WCOL)
-                e = jnp.abs(bcl - acl)
-                g1 = jnp.minimum(jnp.abs(e - nynz), e)
-                g2 = jnp.minimum(jnp.abs(g1 - nzf), g1)
-                ww = jnp.where(g2 <= 1.0, w, 0.0)
-                return (
-                    sr + cr * ww, sg_ + cg * ww, sb_ + cb * ww,
-                    sa + ca * ww, cnt + ww,
-                )
+            def group(g, carry):
+                red, cnt = carry
+                o0 = pl.multiple_of(t * wcap + g * GW, WCOL)
+                wws = []
+                for u_ in range(UNROLL):
+                    o = pl.multiple_of(o0 + u_ * WCOL, WCOL)
+                    w = wc[0, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    bcl = wc[1, pl.ds(o, WCOL)].reshape(1, WCOL)
+                    e = jnp.abs(bcl - acl)
+                    g1 = jnp.minimum(jnp.abs(e - nynz), e)
+                    g2 = jnp.minimum(jnp.abs(g1 - nzf), g1)
+                    ww = jnp.where(g2 <= 1.0, w, 0.0)
+                    cnt = cnt + ww
+                    wws.append(ww)
+                ww4 = jnp.concatenate(wws, axis=1)               # (SUB, GW)
+                B4 = cc[0:4, pl.ds(o0, GW)]                      # (4, GW)
+                return (red + _nt_dot(ww4, B4), cnt)
 
+            zred = jnp.zeros((SUB, 4), jnp.float32)
             zero = jnp.zeros((SUB, WCOL), jnp.float32)
-            carry = jax.lax.fori_loop(
-                0, nchunk[0, 0, t], chunk, (zero, zero, zero, zero, zero)
+            red, cnt = jax.lax.fori_loop(
+                0, nchunkp[0, 0, t] // UNROLL, group, (zred, zero)
             )
-            for a in range(5):
-                out[t, :, a : a + 1] = jnp.sum(carry[a], axis=1, keepdims=True)
+            for a in range(4):
+                out[t, :, a : a + 1] = red[:, a : a + 1]
+            out[t, :, 4:5] = jnp.sum(cnt, axis=1, keepdims=True)
             for a in range(5, 8):
                 out[t, :, a : a + 1] = jnp.zeros((SUB, 1), jnp.float32)
 
         return body
 
-    return _dense_phase(plan, capacity, 4, (8,), 8, body_factory, interpret)
+    return _dense_phase(plan, capacity, 4, (4, 4), 8, body_factory, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -587,6 +672,7 @@ class PallasPhases2:
     def __init__(self, capacity: int, grid: GridSpec, h: float, smax: int,
                  wcap: int, interpret: bool = False):
         assert capacity % BLK == 0
+        assert wcap % (UNROLL * WCOL) == 0
         if grid.ncells >= (1 << 24):
             raise ValueError("pallas path requires < 2^24 grid cells (f32-exact ids)")
         self.capacity = capacity
@@ -595,9 +681,8 @@ class PallasPhases2:
         self.smax = smax
         self.wcap = wcap
         self.plan = Plan2Spec(nblocks=capacity // BLK, smax=smax, wcap=wcap)
-        self._compact3 = make_compact_call(self.plan, capacity, 3, interpret)
         self._compact1 = make_compact_call(self.plan, capacity, 1, interpret)
-        self._compact8 = make_compact_call(self.plan, capacity, 8, interpret)
+        self._compact4 = make_compact_call(self.plan, capacity, 4, interpret)
         self._lambda = make_lambda2_call(self.plan, capacity, h, interpret)
         self._delta = make_delta2_call(self.plan, capacity, h, interpret)
         self._diffuse = make_diffuse2_call(self.plan, capacity, grid, interpret)
@@ -624,19 +709,24 @@ class PallasPhases2:
     def compact_pstar(self, wins, pstar, member):
         # blank non-member slots (sorted tail): dead slots sit at the origin,
         # which maps to a real interior cell — without blanking they would
-        # pass the r-test for rows near the domain corner
-        blank = jnp.where(member, pstar[0], SENTINEL)
-        packed = jnp.stack([blank, pstar[1], pstar[2]])
-        return self._compact3(wins["sstart"], wins["meta"], wins["nchunk"], packed)
+        # pass the r-test for rows near the domain corner.  Packed slab rows
+        # [one, x, y, z]: rows 1:4 feed the pair differences, rows 0:4 are
+        # the NT-reduce matrix for sum(sg) / sum(b*sg).
+        bx = jnp.where(member, pstar[0], SENTINEL)
+        one = jnp.ones_like(bx)
+        packed = jnp.stack([one, bx, pstar[1], pstar[2]])
+        return self._compact4(wins["sstart"], wins["meta"], wins["nchunk"],
+                              wins["nchunkp"], packed)
 
     def compact_lam(self, wins, lam):
-        return self._compact1(wins["sstart"], wins["meta"], wins["nchunk"], lam[None, :])
+        return self._compact1(wins["sstart"], wins["meta"], wins["nchunk"],
+                              wins["nchunkp"], lam[None, :])
 
     def lambda_phase(self, wins, cands, pstar, mass, member, ptype, alive):
         from pbf_sph_tpu.core.types import FLUID
 
         rows = self._rows4(pstar[0], pstar[1], pstar[2], mass)
-        lam = self._lambda(wins["nchunk"], rows, cands).reshape(self.capacity)
+        lam = self._lambda(wins["nchunkp"], rows, cands).reshape(self.capacity)
         return jnp.where((ptype == FLUID) & alive & member, lam, 0.0)
 
     def delta_phase(self, wins, cands, lamc, pstar, lam, member, ptype, alive,
@@ -644,7 +734,7 @@ class PallasPhases2:
         from pbf_sph_tpu.core.types import FLUID
 
         rows = self._rows4(pstar[0], pstar[1], pstar[2], lam)
-        dp = self._delta(wins["nchunk"], rows, cands, lamc)
+        dp = self._delta(wins["nchunkp"], rows, cands, lamc)
         dp = dp.reshape(self.capacity, 4)
         fluid = (ptype == FLUID) & alive & member
         out = []
@@ -666,12 +756,14 @@ class PallasPhases2:
         clb = jnp.where(member, cl, SENTINEL)
         w = ((ptype != OBSTACLE) & alive & member).astype(dtype)
         z = jnp.zeros_like(w)
-        packed = jnp.stack(
-            [colour[0], colour[1], colour[2], colour[3], w, clb, z, z]
-        )
-        cands = self._compact8(wins["sstart"], wins["meta"], wins["nchunk"], packed)
+        packed_c = jnp.stack([colour[0], colour[1], colour[2], colour[3]])
+        packed_w = jnp.stack([w, clb, z, z])
+        cands_c = self._compact4(wins["sstart"], wins["meta"], wins["nchunk"],
+                                 wins["nchunkp"], packed_c)
+        cands_w = self._compact4(wins["sstart"], wins["meta"], wins["nchunk"],
+                                 wins["nchunkp"], packed_w)
         rows = self._rows4(cl, z, z, z)
-        outs = self._diffuse(wins["nchunk"], rows, cands)
+        outs = self._diffuse(wins["nchunkp"], rows, cands_c, cands_w)
         outs = outs.reshape(self.capacity, 8)
         mixture = outs[:, :4]
         cnt = outs[:, 4]

@@ -66,7 +66,7 @@ def test_compaction_contract():
     grid, key, pstar, alive, ptype, mass, cells, member, table = make_scene(0)
     C = key.shape[0]
     smax = 2048
-    wcap = 1792
+    wcap = 2048
     wins, ovf = p2.plan_compact(key, table, grid, C, smax, wcap)
     assert int(ovf["strip_overflow"]) == 0
     assert int(ovf["wcap_overflow"]) == 0
@@ -78,7 +78,8 @@ def test_compaction_contract():
         p2.Plan2Spec(nblocks=C // p2.BLK, smax=smax, wcap=wcap), C, 3,
         interpret=True,
     )
-    slabs = np.asarray(compact(wins["sstart"], wins["meta"], wins["nchunk"], packed)[0])
+    slabs = np.asarray(compact(wins["sstart"], wins["meta"], wins["nchunk"],
+                               wins["nchunkp"], packed)[0])
     slabs = slabs.reshape(C // p2.SUB, wcap)
     nchunk = np.asarray(wins["nchunk"])
 
@@ -122,7 +123,7 @@ def _reference_phases(grid, pstar, mass, ptype, alive, cells, member, table, ite
 def test_lambda_delta_parity():
     grid, key, pstar, alive, ptype, mass, cells, member, table = make_scene(1)
     C = key.shape[0]
-    smax, wcap = 2048, 1792
+    smax, wcap = 2048, 2048
     phases = p2.PallasPhases2(C, grid, H, smax, wcap, interpret=True)
     wins, ovf = phases.plan_frame(key, table)
     assert int(ovf["strip_overflow"]) == 0 and int(ovf["wcap_overflow"]) == 0
@@ -152,7 +153,7 @@ def test_lambda_delta_parity():
 def test_diffuse_parity():
     grid, key, pstar, alive, ptype, mass, cells, member, table = make_scene(2)
     C = key.shape[0]
-    phases = p2.PallasPhases2(C, grid, H, 2048, 1792, interpret=True)
+    phases = p2.PallasPhases2(C, grid, H, 2048, 2048, interpret=True)
     wins, _ = phases.plan_frame(key, table)
 
     rng = np.random.default_rng(3)
@@ -213,7 +214,7 @@ def test_plan_straddle_bounded():
     table = build_cell_table(key, grid)
     cells, member = decode_key(key, grid)
 
-    smax = min(8192, C)
+    smax = C
     wcap = 2560
     wins, ovf = p2.plan_compact(key, table, grid, C, smax, wcap)
     assert int(ovf["strip_overflow"]) == 0
@@ -234,7 +235,8 @@ def test_plan_straddle_bounded():
         covered = np.zeros(C + 65536, bool)
         abs_chunks = set()
         for j in range(nchunk[t]):
-            ac = sstart[b] // 128 + meta[t, j]
+            strip, sc = meta[t, j] // 8192, meta[t, j] % 8192
+            ac = sstart[b, strip] // 128 + sc
             assert ac not in abs_chunks, f"dup chunk for sub-block {t}"
             abs_chunks.add(ac)
             covered[ac * 128 : ac * 128 + 128] = True
@@ -249,12 +251,12 @@ def test_plan_intervals_fast():
     range, and cover every row's true stencil columns."""
     grid, key, pstar, alive, ptype, mass, cells, member, table = make_scene(4)
     C = key.shape[0]
-    smax, wcap = 2048, 1792
+    smax, wcap = 2048, 2048
     wins, ovf = p2.plan_compact(key, table, grid, C, smax, wcap)
     assert int(ovf["strip_overflow"]) == 0 and int(ovf["wcap_overflow"]) == 0
     meta = np.asarray(wins["meta"])          # (nsub, wcap//128)
     nchunk = np.asarray(wins["nchunk"])
-    sstart = np.asarray(wins["sstart"])      # (nblocks,)
+    sstart = np.asarray(wins["sstart"])      # (nblocks, 3)
     cells_np = np.stack([np.asarray(c) for c in cells])
     member_np = np.asarray(member)
     nsub = C // p2.SUB
@@ -263,9 +265,9 @@ def test_plan_intervals_fast():
         b = t // p2.NSUB
         abs_chunks = []
         for j in range(nchunk[t]):
-            sc = meta[t, j]
+            strip, sc = meta[t, j] // 8192, meta[t, j] % 8192
             assert 0 <= sc < smax // 128
-            abs_chunks.append(sstart[b] // 128 + sc)
+            abs_chunks.append(sstart[b, strip] // 128 + sc)
         # absolute source chunks unique -> no duplicated candidates
         assert len(set(abs_chunks)) == len(abs_chunks), f"dup chunk in {t}"
         covered = np.zeros(C + 4096, bool)

@@ -117,7 +117,7 @@ def main():
     if which in ("v2", "both"):
         from pbf_sph_tpu.ops import pallas_pbf2 as p2
 
-        smax = 3 * max(8192, -(-(spec.grid.dims[2] * 48 * 2) // 128) * 128)
+        smax = max(8192, -(-(spec.grid.dims[2] * 48 * 2) // 128) * 128)
         smax = min(-(-smax // 128) * 128, spec.capacity)
         wcap = spec.wcap or p2.default_wcap()
         ph2 = p2.PallasPhases2(spec.capacity, spec.grid, h, smax, wcap)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Load-balance study under the sloshing workload (VERDICT round-1 #9).
+
+Runs the single-chip solver on the benchmark's oscillating-bounds motion
+(`apply_motion_sin_x_cos_z`, reference `src/sph.hpp:147-158`) and records the
+per-x-slab particle fraction every frame for an n_dev-way decomposition.
+The peak slab fraction over the run is the data the sharded `cap_local`
+default must cover.
+
+Run: python tools/load_balance.py [count] [n_dev] [frames]
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from pbf_sph_tpu.core.configs import dam_break
+from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+from pbf_sph_tpu.core.types import Scene
+from pbf_sph_tpu.models import make_solver
+from pbf_sph_tpu.models.jax_solver import dyn_params_of
+
+
+def main():
+    count = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
+    n_dev = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    frames = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    impl = os.environ.get("PBF_LB_IMPL", "pallas")
+
+    mc, cfg, xs = dam_break(count, solver_iter=6)
+    solver = make_solver(impl, h=cfg.h)
+    spec, state, scn = solver.prepare(cfg, Scene(), xs)
+    grid = spec.grid
+    slab_w = -(-grid.dims[0] // n_dev)
+    h = spec.h
+    scale = float(spec.scale)
+
+    @jax.jit
+    def slab_counts(state, dyn):
+        min_ext_x = dyn["min_bound"][0] / scale - h * 2
+        gcx = jnp.trunc(
+            jnp.clip((state.position[0] / scale - min_ext_x) / h, -2e9, 2e9)
+        ).astype(jnp.int32)
+        owner = jnp.clip(gcx // slab_w, 0, n_dev - 1)
+        return jnp.zeros((n_dev,), jnp.int32).at[owner].add(
+            state.alive.astype(jnp.int32)
+        )
+
+    fracs = []
+    import dataclasses
+
+    dyn0 = dyn_params_of(cfg, solver.dtype)
+    # settle + capacity growth (same protocol as bench.py, abbreviated)
+    for _round in range(4):
+        ovf = 0
+        for _ in range(5):
+            state, out = solver.step_device(spec, state, dyn0, scn)
+            ovf = max(ovf, int(out["strip_overflow"]), int(out.get("wcap_overflow", 0)))
+        changes = {}
+        occ = int(out["max_occupancy"])
+        if occ > spec.cell_capacity:
+            changes["cell_capacity"] = -(-occ // 16) * 16 + 16
+        if ovf > 0:
+            from pbf_sph_tpu.ops.pallas_pbf2 import (
+                default_wcap, grown_strip_capacity, grown_wcap,
+            )
+
+            changes["strip_capacity"] = grown_strip_capacity(spec, ovf)
+            changes["wcap"] = grown_wcap(spec.wcap or default_wcap(), ovf)
+        if not changes:
+            break
+        print(f"# growing {changes}", file=sys.stderr)
+        spec = dataclasses.replace(spec, **changes)
+        from pbf_sph_tpu.core.types import FluidState
+
+        state = jax.device_put(FluidState.from_soa(xs, spec.capacity, solver.dtype))
+
+    for f in range(frames):
+        c = apply_motion_sin_x_cos_z(cfg, f)
+        dyn = dyn_params_of(c, solver.dtype)
+        state, out = solver.step_device(spec, state, dyn, scn)
+        counts = np.asarray(slab_counts(state, dyn))
+        fracs.append(counts / counts.sum())
+    fracs = np.asarray(fracs)  # (frames, n_dev)
+
+    peak_per_slab = fracs.max(axis=0)
+    peak = float(fracs.max())
+    print(f"slabs={n_dev} slab_w={slab_w} frames={frames} count={count}")
+    print("peak fraction per slab:", np.round(peak_per_slab, 4).tolist())
+    print("mean fraction per slab:", np.round(fracs.mean(axis=0), 4).tolist())
+    print(f"peak slab fraction: {peak:.4f}  (uniform would be {1/n_dev:.4f}; "
+          f"imbalance {peak*n_dev:.2f}x)")
+    # occupancy histogram of the peak slab's fraction over frames
+    hist, edges = np.histogram(fracs.max(axis=1), bins=10)
+    print("per-frame max-slab-fraction histogram:")
+    for i, hv in enumerate(hist):
+        print(f"  [{edges[i]:.3f},{edges[i+1]:.3f}): {hv}")
+    out = dict(count=count, n_dev=n_dev, frames=frames,
+               peak_frac=peak, peak_per_slab=peak_per_slab.tolist(),
+               mean_per_slab=fracs.mean(axis=0).tolist())
+    with open("/tmp/load_balance.json", "w") as fh:
+        json.dump(out, fh)
+    print("# wrote /tmp/load_balance.json")
+
+
+if __name__ == "__main__":
+    main()
