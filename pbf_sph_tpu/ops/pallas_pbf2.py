@@ -161,11 +161,11 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     send = jnp.stack(sends, axis=1).astype(jnp.int32)
     sstart_al = (sstart // WCOL) * WCOL
     sstart_al = jnp.minimum(sstart_al, max(C - smax, 0)).astype(jnp.int32)
-    # one-chunk margin: emitted boundary chunks may extend <= WCOL-1 columns
-    # past a strip's content (cross-strip chunk dedup)
-    strip_overflow = jnp.maximum(
-        jnp.max(send - sstart_al) - (smax - WCOL), 0
-    ).astype(jnp.int32)
+    # emitted boundary chunks may extend past a strip's content up to the
+    # next 128 boundary (cross-strip chunk dedup), so the strip must hold
+    # whole covering chunks of its content range
+    need = ((send - sstart_al + WCOL - 1) // WCOL) * WCOL
+    strip_overflow = jnp.maximum(jnp.max(need) - smax, 0).astype(jnp.int32)
 
     # Gap-split each sub-block's sorted cell range into NPIECES pieces at its
     # top NPIECES-1 cell-id gaps.  The convex hull [cmin+off, cmax+off] alone
