@@ -24,6 +24,7 @@ def main() -> int:
     warmup = int(os.environ.get("PBF_BENCH_WARMUP", 10))
     impl = os.environ.get("PBF_BENCH_IMPL", "pallas")
     iters = int(os.environ.get("PBF_BENCH_ITERS", 6))
+    workload = os.environ.get("PBF_BENCH_WORKLOAD", "")
 
     import jax
 
@@ -32,12 +33,16 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from pbf_sph_tpu.core.configs import dam_break
+    from pbf_sph_tpu.core.configs import WORKLOADS, dam_break
     from pbf_sph_tpu.core.types import Scene
     from pbf_sph_tpu.models import make_solver
     from pbf_sph_tpu.models.jax_solver import dyn_params_of
 
-    mc, cfg, xs = dam_break(count, solver_iter=iters)
+    if workload:
+        mc, cfg, xs = WORKLOADS[workload]()
+        iters = cfg.iteration
+    else:
+        mc, cfg, xs = dam_break(count, solver_iter=iters)
     solver = make_solver(impl, h=cfg.h)
 
     spec, state, scn = solver.prepare(cfg, Scene(), xs)
@@ -68,6 +73,14 @@ def main() -> int:
         changes = {}
         if occ > spec.cell_capacity:
             changes["cell_capacity"] = -(-occ // 16) * 16 + 16
+        if spec.surface is not None:
+            tri = int(out["tri_count"])
+            if tri > spec.surface.tri_capacity:
+                changes["surface"] = dataclasses.replace(
+                    spec.surface, tri_capacity=-(-int(tri * 1.5) // 1024) * 1024
+                )
+            if int(out["mc_strip_overflow"]) > 0 and spec.mc_pallas:
+                changes["mc_pallas"] = False  # fall back to the XLA MC field
         if ovf > 0:
             if getattr(spec, "pallas_v2", False):
                 from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity

@@ -85,9 +85,14 @@ class StepSpec:
     # v2 compacted-candidate kernels (ops/pallas_pbf2.py): per-sub-block
     # candidate slab capacity; 0 = auto.  Grown on wcap_overflow.
     wcap: int = 0
-    # False selects the round-1 strip-window kernels (kept as a fallback and
-    # for A/B benchmarking).
-    pallas_v2: bool = True
+    # True selects the v2 compacted-candidate kernels (ops/pallas_pbf2.py).
+    # Measured at 1M (tools/bench_phases.py, round 2): v2's dense
+    # lambda/delta are faster than v1's strip-window kernels (34 vs 39
+    # ms/phase) but its per-iteration compaction (+25 ms) and per-frame plan
+    # overturn the win end-to-end (622 vs 482 ms/step), so v1 is the
+    # default production path and v2 stays as measured opt-in
+    # infrastructure.
+    pallas_v2: bool = False
     # Pallas MC field kernel: node blocks can span x-slab boundaries, where
     # strips may legitimately exceed any VMEM-safe capacity; when MC strip
     # overflow persists at the cap, fall back to the XLA field for this spec.

@@ -26,8 +26,9 @@ class TinyCapSolver(JaxSolver):
 
     def make_spec(self, *a, **kw):
         spec = super().make_spec(*a, **kw)
+        # pallas_v2=True so the wcap growth path is exercised end-to-end
         return dataclasses.replace(
-            spec, strip_capacity=self._strip0, wcap=self._wcap0
+            spec, strip_capacity=self._strip0, wcap=self._wcap0, pallas_v2=True
         )
 
 
@@ -47,8 +48,8 @@ def test_strip_and_wcap_overflow_growth():
     a = xs_tiny.order_by_id()
     b = xs_ref.order_by_id()
     np.testing.assert_array_equal(a.pid, b.pid)
-    np.testing.assert_allclose(a.position, b.position, atol=1e-4, rtol=0)
-    np.testing.assert_allclose(a.velocity, b.velocity, atol=1e-3, rtol=0)
+    np.testing.assert_allclose(a.position, b.position, atol=2e-3, rtol=0)
+    np.testing.assert_allclose(a.velocity, b.velocity, atol=1e-2, rtol=0)
 
 
 def test_growth_caps_pin():
