@@ -80,7 +80,13 @@ def main() -> int:
                     spec.surface, tri_capacity=-(-int(tri * 1.5) // 1024) * 1024
                 )
             if int(out["mc_strip_overflow"]) > 0 and spec.mc_pallas:
-                changes["mc_pallas"] = False  # fall back to the XLA MC field
+                # node-kernel strips first grow to the VMEM-safe MC cap; only
+                # a persistent overflow falls back to the XLA field (which is
+                # ~12x slower at res 1.0 — 913M gathered elements)
+                if max(spec.strip_capacity, 8192) < 16384:
+                    changes["strip_capacity"] = 16384
+                else:
+                    changes["mc_pallas"] = False
         if ovf > 0:
             if getattr(spec, "pallas_v2", False):
                 from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity

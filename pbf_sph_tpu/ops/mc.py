@@ -70,7 +70,8 @@ def _node_grid(spec: McSpec):
 
 def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
              extent, spec: McSpec, cap: int, h: float, scale,
-             particle_size, particle_influence):
+             particle_size, particle_influence,
+             node_offset=None, cell_offset=None, quirk_grid=None):
     """Metaball lattice field (reference `src/omp/ompsph.hpp:288-356`).
 
     Per node: gather particles within h*scale from the 27 cells around the
@@ -79,13 +80,32 @@ def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
     normalize, 0-count colour mean) intentionally reproduce the reference's
     NaN behaviour; those lattice entries are never consumed by emission.
 
+    Multi-chip slab mode (parallel/sharded.py): `spec.sample` covers the
+    LOCAL node range; `node_offset` (3 scalars, may be traced) maps local
+    node indices to global ones for world positions / clamps / the far-corner
+    skip, `cell_offset` maps global cell coords to the LOCAL grid's (for the
+    ghost-column table lookups), and `quirk_grid` supplies the GLOBAL grid's
+    Morton guard so single-chip quirks reproduce exactly.  Nodes whose global
+    coords exceed the global sample (last-slab padding) are skipped.
+
     `position` (3,C), `colour` (4,C); returns (lat_v (L,), lat_n (3,L), lat_c (4,L)).
     """
     dtype = position.dtype
-    node = _node_grid(spec)
-    L = node[0].shape[0]
+    node_local = _node_grid(spec)
+    L = node_local[0].shape[0]
     res = jnp.asarray(spec.resolution, dtype)
     step = jnp.asarray(h, dtype) / res
+    if node_offset is None:
+        node = node_local
+        pad_skip = jnp.zeros((L,), bool)
+    else:
+        node = tuple(
+            node_local[a] + jnp.asarray(node_offset[a], jnp.int32) for a in range(3)
+        )
+        gs = [int(np.floor(extent[a] * spec.resolution)) + 1 for a in range(3)]
+        pad_skip = (
+            (node[0] >= gs[0]) | (node[1] >= gs[1]) | (node[2] >= gs[2])
+        )
     a_world = [
         (min_extent[a] + node[a].astype(dtype) * step) * scale for a in range(3)
     ]  # three (L,)
@@ -96,7 +116,7 @@ def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
         (node_cell[0] == extent[0])
         & (node_cell[1] == extent[1])
         & (node_cell[2] == extent[2])
-    )  # the single far-corner node
+    ) | pad_skip  # the single far-corner node (+ last-slab node padding)
 
     choices = []
     for a in range(3):
@@ -109,7 +129,8 @@ def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
     c_acc = [jnp.zeros((L,), dtype) for _ in range(4)]
     cnt = jnp.zeros((L,), jnp.int32)
 
-    maxz = grid.maxz
+    qgrid = quirk_grid or grid
+    maxz = qgrid.maxz
     gx, gy, gz = grid.dims
     karange = jnp.arange(cap, dtype=jnp.int32)[:, None]
     for ck in (0, 1, 2):  # z choice
@@ -119,7 +140,13 @@ def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
                 zc = morton_encode3(sc[0], sc[1], sc[2])
                 # reference skip + end-rule (`src/sph.hpp:207-208`)
                 ok = (~skip) & (zc < maxz) & (zc + 1 < maxz)
+                if cell_offset is not None:
+                    sc = tuple(
+                        sc[a] + jnp.asarray(cell_offset[a], jnp.int32)
+                        for a in range(3)
+                    )
                 lin = jnp.where(ok, (sc[0] * gy + sc[1]) * gz + sc[2], 0)
+                lin = jnp.clip(lin, 0, gx * gy * gz - 1)
                 start = jnp.where(ok, cell_table[lin], 0)
                 end = jnp.where(ok, cell_table[lin + 1], 0)
                 idx = start[None, :] + karange  # (K, L)
@@ -179,10 +206,15 @@ def _corner_slices(lat, sample):
 
 
 def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
-               h: float, scale, isolevel):
+               h: float, scale, isolevel, node_offset=None):
     """Case classification + cumsum compaction + deterministic emission
     (reference mc_size `src/ocl/oclsph_kernel.h:272-318` and mc_eval
     `:336-408`, atomics replaced by exclusive-cumsum offsets).
+
+    Multi-chip slab mode: `node_offset` maps local cube/node coords to
+    global ones for vertex world positions, and cubes whose global min
+    corner falls outside the global march volume (last-slab padding) emit
+    nothing.
 
     TPU structure: corner values come from shifted 3D slices (no gathers);
     per-vertex edge attributes are selected with an unrolled one-hot reduce
@@ -217,6 +249,17 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     tri_t = jnp.asarray(mct.TRI_TABLE, jnp.int32)  # (256,16)
 
     ntris = jnp.where(edge_t[ci] == 0, 0, nvert_t[ci] // 3)  # (M,)
+    if node_offset is not None:
+        gmarch = [int(np.floor(extent[a] * spec.resolution)) for a in range(3)]
+        gcube = [
+            c + jnp.asarray(node_offset[a], jnp.int32)
+            for a, c in enumerate((cx, cy, cz))
+        ]
+        in_vol = (
+            (gcube[0] < gmarch[0]) & (gcube[1] < gmarch[1]) & (gcube[2] < gmarch[2])
+        )
+        ntris = jnp.where(in_vol, ntris, 0)
+        cx, cy, cz = gcube
     offs = jnp.cumsum(ntris) - ntris  # exclusive
     total = offs[-1] + ntris[-1]
 

@@ -69,6 +69,8 @@ class ShardSpec:
     wcap: int = 0
     # initial-bounds min x (world space); used only by distribute_particles
     min_bound_x: float = 0.0
+    # LOCAL marching-cubes spec (slab_w*res+1 node columns); None = no surface
+    surface: object = None
 
     @property
     def grid_local(self) -> GridSpec:
@@ -106,6 +108,24 @@ class ShardSpec:
 
             total = cap_local + 2 * ghost_cap
             cap_local += -(-total // BLK) * BLK - total
+        surface = None
+        if config.surface is not None:
+            from pbf_sph_tpu.ops.mc import McSpec
+
+            res = float(config.surface.resolution)
+            nodes_x = slab_w * res
+            assert nodes_x == int(nodes_x), (
+                "sharded MC requires slab_w * resolution to be integral"
+            )
+            gspec = McSpec.from_extent(
+                grid.extent, res,
+                influence_static=float(config.surface.particle_influence),
+            )
+            surface = dataclasses.replace(
+                gspec,
+                sample=(int(nodes_x) + 1, gspec.sample[1], gspec.sample[2]),
+                tri_capacity=max(1024, -(-gspec.tri_capacity // n_dev) * 2),
+            )
         return ShardSpec(
             n_dev=n_dev,
             cap_local=cap_local,
@@ -121,6 +141,7 @@ class ShardSpec:
             scene=sspec,
             use_pallas=use_pallas,
             min_bound_x=float(np.asarray(config.min_bound, np.float32)[0]),
+            surface=surface,
         )
 
 
@@ -426,8 +447,36 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             refresh_lam=refresh, refresh_pstar=refresh_pstar,
         )
 
-        # 7. finalise; drop ghosts
+        # 7. finalise
         new_pos, new_vel = pbf.finalise(position, vel, pstar, ptype, alive, dt, scale, dtype)
+
+        # 7b. marching cubes over the local slab's lattice nodes (ghosts still
+        # alive: boundary nodes gather from the ghost column; cubes partition
+        # exactly across slabs — no duplicate triangles)
+        mesh_out = None
+        if spec.surface is not None:
+            from pbf_sph_tpu.ops import mc as mc_ops
+
+            res = spec.surface.resolution
+            nodes_x_owned = spec.surface.sample[0] - 1  # slab_w * res
+            node_off = (me * nodes_x_owned, 0, 0)
+            cell_off = (-(me * spec.slab_w - 1), 0, 0)
+            lat_v, lat_n, lat_c = mc_ops.mc_field(
+                new_pos, colour, ptype, alive, cell_table, lgrid,
+                min_extent, spec.grid_global.extent, spec.surface, K, spec.h,
+                scale, dyn["mc_particle_size"].astype(dtype),
+                dyn["mc_particle_influence"].astype(dtype),
+                node_offset=node_off, cell_offset=cell_off,
+                quirk_grid=spec.grid_global,
+            )
+            vs, ns, cs, total = mc_ops.mc_extract(
+                lat_v, lat_n, lat_c, min_extent, spec.grid_global.extent,
+                spec.surface, spec.h, scale, dyn["mc_isolevel"].astype(dtype),
+                node_offset=node_off,
+            )
+            mesh_out = (vs, ns, cs, total)
+
+        # drop ghosts
         ghost_mask = jnp.zeros((CT,), bool).at[CL:].set(True)[order]
         alive = alive & ~ghost_mask
 
@@ -451,6 +500,11 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             query_ids=q_ids,
             query_counts=q_counts,
         )
+        if mesh_out is not None:
+            stats.update(
+                mesh_vs=mesh_out[0], mesh_ns=mesh_out[1], mesh_cs=mesh_out[2],
+                tri_count=mesh_out[3][None],
+            )
         return new_state, stats
 
     state_specs = FluidState(
@@ -472,6 +526,11 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         spawn_dropped=P(AXIS), strip_overflow=P(AXIS), wcap_overflow=P(AXIS),
         query_ids=P(), query_counts=P(),
     )
+    if spec.surface is not None:
+        stats_specs.update(
+            mesh_vs=P(None, AXIS), mesh_ns=P(None, AXIS), mesh_cs=P(None, AXIS),
+            tri_count=P(AXIS),
+        )
 
     fn = jax.jit(jax.shard_map(
         local_step,

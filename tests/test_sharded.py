@@ -129,6 +129,52 @@ def test_sharded_pallas_matches_single():
 
 
 @pytest.mark.slow
+def test_sharded_mc_matches_single():
+    """Slab-local marching cubes (field over local nodes + ghost-column
+    gathers, cube emission partitioned by slab) produces the same triangle
+    set as the single-chip run."""
+    mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
+    cfg = cfg.replace(surface=mc)
+
+    js = JaxSolver(h=cfg.h)
+    res, _ = js.advance(cfg, Scene(), particles)
+    T_ref = res.mesh.vs.shape[0] // 3
+    assert T_ref > 0  # the scene must actually produce a surface
+
+    n_dev = 2
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (sharded.AXIS,))
+    spec = sharded.ShardSpec.create(cfg, n_dev, len(particles), cfg.h)
+    assert spec.surface is not None
+    state = sharded.distribute_particles(particles, spec)
+    state = sharded.shard_state(state, mesh)
+    step = sharded.build_sharded_step(spec, mesh)
+    dyn = dyn_params_of(cfg, np.float32)
+    with mesh:
+        state, stats = step(state, dyn)
+
+    counts = np.asarray(stats["tri_count"]).ravel()
+    assert counts.sum() == T_ref
+    cap3 = spec.surface.tri_capacity * 3
+    vs = np.asarray(stats["mesh_vs"])          # (3, n_dev*cap3)
+
+    def tri_rows(v3, tcounts, cap3_each):
+        rows = []
+        for d, tc in enumerate(tcounts):
+            seg = v3[:, d * cap3_each : d * cap3_each + 3 * int(tc)]
+            rows.append(seg.T.reshape(int(tc), 9))
+        return np.concatenate(rows) if rows else np.zeros((0, 9))
+
+    got = tri_rows(vs, counts, cap3)
+    want = res.mesh.vs.reshape(T_ref, 9)
+
+    def canon(a):
+        r = np.round(a, 3)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(canon(got), canon(want), atol=2e-2, rtol=0)
+
+
+@pytest.mark.slow
 def test_sharded_conserves_particles_under_motion():
     from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
 
