@@ -43,7 +43,55 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write a resumable state checkpoint every k frames")
     p.add_argument("--resume", default="", help="resume from a checkpoint file")
+    p.add_argument("--set", action="append", default=[], dest="sets",
+                   metavar="FRAME:key=value",
+                   help="mutate a live parameter before the given frame, as "
+                        "the reference GUI's sliders do between frames "
+                        "(visualise.cpp:89-94,119-141).  Keys: iteration, dt, "
+                        "scale, force (fx,fy,fz), surface (0/1), "
+                        "mc_resolution, mc_isolevel, mc_particle_size, "
+                        "mc_particle_influence.  Repeatable.")
     return p
+
+
+def parse_live_sets(specs):
+    """'FRAME:key=value' strings -> {frame: [(key, value_str)]}."""
+    out = {}
+    for s in specs:
+        frame_s, _, kv = s.partition(":")
+        key, _, val = kv.partition("=")
+        if not (frame_s.isdigit() and key and val):
+            raise SystemExit(f"--set expects FRAME:key=value, got {s!r}")
+        out.setdefault(int(frame_s), []).append((key, val))
+    return out
+
+
+def apply_live_set(config, key: str, val: str):
+    """One live mutation (reference ImGui slider semantics: the solver sees
+    the new value on its next frame; static-shape changes — iteration, scale,
+    resolution — recompile via the per-spec step cache)."""
+    if key == "iteration":
+        return config.replace(iteration=int(val))
+    if key == "dt":
+        return config.replace(dt=float(val))
+    if key == "scale":
+        return config.replace(scale=float(val))
+    if key == "force":
+        return config.replace(
+            constant_force=tuple(float(v) for v in val.split(","))
+        )
+    if key == "surface":
+        if val in ("0", "off", "false"):
+            return config.replace(surface=None)
+        return config.replace(surface=config.surface or McParams())
+    if key.startswith("mc_"):
+        import dataclasses
+
+        surf = config.surface or McParams()
+        return config.replace(
+            surface=dataclasses.replace(surf, **{key[3:]: float(val)})
+        )
+    raise SystemExit(f"unknown live parameter {key!r}")
 
 
 def main(argv=None) -> int:
@@ -75,7 +123,11 @@ def main(argv=None) -> int:
         frame0 = last_frame + 1  # the checkpoint holds post-frame state
         print(f"resumed {len(xs)} particles after frame {last_frame}")
 
+    live_sets = parse_live_sets(args.sets)
     for frame in range(frame0, frame0 + args.frames):
+        for key, val in live_sets.get(frame, []):
+            config = apply_live_set(config, key, val)
+            print(f"frame {frame}: set {key}={val}", flush=True)
         cfg = config if args.no_motion else apply_motion_sin_x_cos_z(config, frame)
         result, xs = solver.advance(cfg, Scene(), xs)
         if frame % args.every == 0:
