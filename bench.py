@@ -83,8 +83,10 @@ def main() -> int:
                 # node-kernel strips first grow to the VMEM-safe MC cap; only
                 # a persistent overflow falls back to the XLA field (which is
                 # ~12x slower at res 1.0 — 913M gathered elements)
-                if max(spec.strip_capacity, 8192) < 16384:
-                    changes["strip_capacity"] = 16384
+                mco = int(out["mc_strip_overflow"])
+                cand = -(-(max(spec.strip_capacity, 8192) + mco) // 2048) * 2048
+                if cand <= 49152:
+                    changes["strip_capacity"] = cand
                 else:
                     changes["mc_pallas"] = False
         if ovf > 0:

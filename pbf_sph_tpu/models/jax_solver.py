@@ -300,7 +300,9 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
             spec.capacity, spec.grid, spec.h, smax, interpret=interp
         )
 
-    MC_SMAX_CAP = 16384  # VMEM-safe strip bound for the node kernel
+    MC_SMAX_CAP = 49152  # VMEM-safe strip bound for the node kernel
+    # (res-1.0 node blocks in compressed regions span ~1200 cells at
+    # occupancy ~35 => ~42k-column strips; scratch 2*3*8*smax*4B = 9.4MB)
     if spec.surface is not None and spec.mc_pallas:
         from pbf_sph_tpu.ops.pallas_mc import PallasMcField
 
@@ -706,8 +708,10 @@ class JaxSolver(Solver):
                     pallas_v2 = False
             mc_pallas = spec.mc_pallas
             if need_mc:
-                if max(new_s, spec.strip_capacity, 8192) < 16384:
-                    new_s = max(new_s, 16384)
+                cand = -(-(max(new_s, spec.strip_capacity, 8192) + mc_ovf)
+                         // 2048) * 2048
+                if cand <= 49152:
+                    new_s = max(new_s, cand)
                 else:
                     mc_pallas = False  # fall back to the XLA MC field
             spec = dataclasses.replace(

@@ -111,11 +111,14 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
         )
         lo_cells[:, s] = per_sub(lo_lin, np.min, big)
         hi_cells[:, s] = per_sub(hi_lin, np.max, -1)
-    # empty windows for fully-padded sub-blocks
-    full_pad = np.arange(nsub) * SUB >= L
-    lo_cells[full_pad] = 0
-    hi_cells[full_pad] = -1
     lo_cells = np.minimum(lo_cells, hi_cells + 1)
+    # empty windows for fully-padded sub-blocks: lo at the END of the cell
+    # range (NOT 0 — a zero lo drags the whole block's strip start to column
+    # 0, making the last block's real windows span the entire particle array
+    # and report a bogus ~capacity-sized strip overflow)
+    full_pad = np.arange(nsub) * SUB >= L
+    lo_cells[full_pad] = gnx * gny * gnz
+    hi_cells[full_pad] = -1
 
     inv = np.zeros(L, np.int64)
     inv[order] = np.arange(L)
