@@ -96,8 +96,12 @@ class ShardSpec:
         slab_w = -(-gx // n_dev)
         sspec = scene_spec_of(scene or Scene(), config)
         if cap_local <= 0:
-            # dam-style scenes are heavily imbalanced across slabs; default to
-            # room for the whole set on one device below 4 devices' worth
+            # whole-set default, now data-justified (tools/load_balance.py,
+            # 200 frames of the sloshing benchmark at 256k/8 slabs): the peak
+            # slab holds 68% of ALL particles in steady state (5.46x uniform)
+            # and the INITIAL dam column can sit entirely inside one slab, so
+            # a fraction-of-count cap saves <32% at real risk.  Balanced
+            # decompositions can pass an explicit cap_local.
             cap_local = max(256, -(-int(count + sspec.total_spawn) // 128) * 128)
         gy, gz = grid.dims[1], grid.dims[2]
         ghost_cap = max(128, -(-(gy * gz * 8) // 128) * 128)
