@@ -56,59 +56,22 @@ def main() -> int:
     import dataclasses
 
     from pbf_sph_tpu.core.types import FluidState
+    from pbf_sph_tpu.models.growth import growth_changes
 
+    changes = {}
     for _round in range(6):
-        occs, ovfs, wovfs = [], [], []
-        grew = False
+        occs = []
         for _ in range(warmup):
             state, out = solver.step_device(spec, state, dyn, scn)
             occs.append(out["max_occupancy"])
-            ovfs.append(out["strip_overflow"])
-            wovfs.append(out.get("wcap_overflow", 0))
-            if int(ovfs[-1]) > 0 or int(wovfs[-1]) > 0:
+            if (int(out["strip_overflow"]) > 0
+                    or int(out.get("wcap_overflow", 0)) > 0):
                 break  # stop the round early; state is already suspect
-        occ = int(max(int(o) for o in occs))
-        ovf = int(max(int(o) for o in ovfs))
-        wovf = int(max(int(o) for o in wovfs))
-        changes = {}
-        if occ > spec.cell_capacity:
-            changes["cell_capacity"] = -(-occ // 16) * 16 + 16
-        if spec.surface is not None:
-            tri = int(out["tri_count"])
-            if tri > spec.surface.tri_capacity:
-                changes["surface"] = dataclasses.replace(
-                    spec.surface, tri_capacity=-(-int(tri * 1.5) // 1024) * 1024
-                )
-            if int(out["mc_strip_overflow"]) > 0 and spec.mc_pallas:
-                # node-kernel strips first grow to the VMEM-safe MC cap; only
-                # a persistent overflow falls back to the XLA field (which is
-                # ~12x slower at res 1.0 — 913M gathered elements)
-                mco = int(out["mc_strip_overflow"])
-                cand = -(-(max(spec.strip_capacity, 8192) + mco) // 2048) * 2048
-                if cand <= 49152:
-                    changes["strip_capacity"] = cand
-                else:
-                    changes["mc_pallas"] = False
-        if ovf > 0:
-            if getattr(spec, "pallas_v2", False):
-                from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity
-            else:
-                from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
-
-            new_s = grown_strip_capacity(spec, ovf)
-            if getattr(spec, "pallas_v2", False) and new_s == spec.strip_capacity:
-                changes["pallas_v2"] = False  # capped; use v1 strip kernels
-                changes["strip_capacity"] = 0
-            else:
-                changes["strip_capacity"] = new_s
-        if wovf > 0 and changes.get("pallas_v2", True):
-            from pbf_sph_tpu.ops.pallas_pbf2 import default_wcap, grown_wcap
-
-            new_w = grown_wcap(spec.wcap or default_wcap(), wovf)
-            if new_w == (spec.wcap or default_wcap()):
-                changes["pallas_v2"] = False  # capped; use v1 strip kernels
-            else:
-                changes["wcap"] = new_w
+        # the growth policy is shared with JaxSolver.advance (models/growth.py);
+        # judge the round on its peak occupancy, not just the last frame's
+        out = dict(out)
+        out["max_occupancy"] = max(int(o) for o in occs)
+        changes = growth_changes(spec, out)
         if not changes:
             break
         print(f"# growing: {changes}", file=sys.stderr)
@@ -117,6 +80,11 @@ def main() -> int:
         import jax as _jax
 
         state = _jax.device_put(FluidState.from_soa(xs, spec.capacity, solver.dtype))
+    if changes:
+        # mirrors jax_solver.advance's convergence error: measuring frames
+        # computed with dropped candidates would be benchmarking corrupted
+        # physics (ADVICE r2 low #3)
+        raise RuntimeError(f"capacity growth did not converge: {changes}")
 
     t0 = time.perf_counter()
     outs = []

@@ -82,8 +82,13 @@ def find_device(specs: List[str], verbose: bool = False):
     devs = jax.devices()
     for spec in specs:
         s = spec.strip()
-        if s.isdigit() and int(s) < len(devs):
-            return devs[int(s)]
+        if s.isdigit():
+            # purely an index: an out-of-range index fails instead of falling
+            # through to substring matching (where it could accidentally match
+            # a digit inside a device repr, e.g. coords "(3,0,0)")
+            if int(s) < len(devs):
+                return devs[int(s)]
+            continue
         for d in devs:
             name = f"{d.platform}:{d.device_kind} {d}"
             if s.lower() in name.lower():

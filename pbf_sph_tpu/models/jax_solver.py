@@ -85,6 +85,11 @@ class StepSpec:
     # v2 compacted-candidate kernels (ops/pallas_pbf2.py): per-sub-block
     # candidate slab capacity; 0 = auto.  Grown on wcap_overflow.
     wcap: int = 0
+    # Pallas MC node-kernel strip capacity (columns); 0 = derived from
+    # strip_capacity.  Kept SEPARATE from strip_capacity so MC strip growth
+    # (which may exceed the v2 phase kernels' VMEM-safe STRIP_MAX) never
+    # resizes the phase-kernel scratch (round-2 ADVICE medium #2).
+    mc_strip_capacity: int = 0
     # True selects the v2 compacted-candidate kernels (ops/pallas_pbf2.py).
     # Measured at 1M (tools/bench_phases.py, round 2): v2's dense
     # lambda/delta are faster than v1's strip-window kernels (34 vs 39
@@ -236,13 +241,20 @@ def _apply_drains(state: FluidState, scn, spec: StepSpec):
 
 def _queries(scn, spec: StepSpec, pid, ptype, alive, cell_table, min_extent, dtype):
     """Point queries over the centre cell only (reference
-    `src/omp/ompsph.hpp:167-186`, incl. its `zIdx+1 < gridTableN` guard)."""
+    `src/omp/ompsph.hpp:167-186`, incl. its `zIdx+1 < gridTableN` guard).
+
+    The reference returns an unbounded std::vector of ids; the jitted path
+    scans a static `query_capacity` window and reports `overflow` = how many
+    cell members beyond the window could not be scanned, so the growth loop
+    can enlarge the capacity instead of silently truncating (round-2
+    missing #1)."""
     sc = spec.scene
     qcap = sc.query_capacity
     maxz = spec.grid.maxz
     nx, ny, nz = spec.grid.dims
     out_ids = []
     out_counts = []
+    overflow = jnp.asarray(0, jnp.int32)
     for qi in range(sc.n_queries):
         scaled = scn["q_point"][qi] / jnp.asarray(spec.scale, dtype) - min_extent
         qcell = jnp.trunc(scaled / jnp.asarray(spec.h, dtype)).astype(jnp.int32)
@@ -260,9 +272,11 @@ def _queries(scn, spec: StepSpec, pid, ptype, alive, cell_table, min_extent, dty
         keep = m & (ptype[idxc] == FLUID) & alive[idxc]
         out_ids.append(jnp.where(keep, pid[idxc], -1))
         out_counts.append(jnp.sum(keep).astype(jnp.int32))
+        overflow = jnp.maximum(overflow, (end - start) - qcap)
     if not out_ids:
-        return jnp.zeros((0, qcap), jnp.int32), jnp.zeros((0,), jnp.int32)
-    return jnp.stack(out_ids), jnp.stack(out_counts)
+        return (jnp.zeros((0, qcap), jnp.int32), jnp.zeros((0,), jnp.int32),
+                overflow)
+    return jnp.stack(out_ids), jnp.stack(out_counts), jnp.maximum(overflow, 0)
 
 
 def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0):
@@ -291,6 +305,9 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
     if spec.pallas_v2:
         from pbf_sph_tpu.ops import pallas_pbf2
 
+        # the compact-kernel scratch is only VMEM-safe up to STRIP_MAX; MC
+        # strip growth must never push the phase kernels past it
+        smax = min(smax, pallas_pbf2.STRIP_MAX)
         wcap = spec.wcap or pallas_pbf2.default_wcap()
         phases2 = pallas_pbf2.PallasPhases2(
             spec.capacity, spec.grid, spec.h, smax, wcap, interpret=interp
@@ -300,13 +317,11 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
             spec.capacity, spec.grid, spec.h, smax, interpret=interp
         )
 
-    MC_SMAX_CAP = 49152  # VMEM-safe strip bound for the node kernel
-    # (res-1.0 node blocks in compressed regions span ~1200 cells at
-    # occupancy ~35 => ~42k-column strips; scratch 2*3*8*smax*4B = 9.4MB)
     if spec.surface is not None and spec.mc_pallas:
-        from pbf_sph_tpu.ops.pallas_mc import PallasMcField
+        from pbf_sph_tpu.ops.pallas_mc import MC_SMAX_CAP, PallasMcField
 
-        mc_smax = min(max(smax, 8192), MC_SMAX_CAP, spec.capacity)
+        mc_smax = spec.mc_strip_capacity or smax
+        mc_smax = min(max(mc_smax, 8192), MC_SMAX_CAP, spec.capacity)
         mc_field_pallas = PallasMcField(
             spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
             spec.surface.influence_static, mc_smax, interpret=interp,
@@ -473,7 +488,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         occupancy = max_cell_occupancy(cell_table[: spec.grid.ncells + 1])
 
         # 7. queries (before diffusion, reference order `src/omp/ompsph.hpp:167`)
-        q_ids, q_counts = _queries(
+        q_ids, q_counts, q_overflow = _queries(
             scn, spec, state.pid, state.ptype, state.alive, cell_table, min_extent, dtype
         )
 
@@ -501,6 +516,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             mc_strip_overflow=jnp.asarray(0, jnp.int32),
             query_ids=q_ids,
             query_counts=q_counts,
+            query_overflow=q_overflow,
         )
 
         # 11. marching cubes
@@ -649,6 +665,8 @@ class JaxSolver(Solver):
         scn = scene_arrays_of(scene, sspec, self.dtype)
         dyn = dyn_params_of(config, self.dtype)
 
+        from pbf_sph_tpu.models.growth import growth_changes
+
         for _attempt in range(4):
             state = FluidState.from_soa(xs, spec.capacity, self.dtype)
             new_state, out = self.get_step(spec)(state, dyn, scn)
@@ -658,66 +676,12 @@ class JaxSolver(Solver):
                     f"{spec.grid.extent}; the solver's GridSpec was frozen from "
                     "the initial bounds — rebuild the solver for a larger domain"
                 )
-            occ = int(out["max_occupancy"])
-            tri_count = int(out["tri_count"]) if spec.surface is not None else 0
-            strip_ovf = int(out["strip_overflow"])
-            wcap_ovf = int(out["wcap_overflow"])
-            mc_ovf = int(out["mc_strip_overflow"])
-            need_k = occ > spec.cell_capacity
-            need_t = spec.surface is not None and tri_count > spec.surface.tri_capacity
-            need_s = strip_ovf > 0
-            need_w = wcap_ovf > 0
-            need_mc = mc_ovf > 0 and spec.mc_pallas
-            if not (need_k or need_t or need_s or need_w or need_mc):
+            # grow and re-run the frame under a larger spec (rare recompile);
+            # the policy is shared with bench.py (models/growth.py)
+            changes = growth_changes(spec, out)
+            if not changes:
                 break
-            # grow and re-run the frame under a larger spec (rare recompile)
-            new_k = spec.cell_capacity
-            if need_k:
-                # 1.5x headroom: occupancy keeps rising while the fluid
-                # compresses; growing to the observed max exactly causes a
-                # recompile every few frames
-                new_k = -(-int(occ * 1.5) // 16) * 16
-            surface = spec.surface
-            if need_t:
-                surface = dataclasses.replace(surface, tri_capacity=-(-tri_count // 1024) * 1024)
-            new_s = spec.strip_capacity
-            pallas_v2 = spec.pallas_v2
-            if need_s:
-                if spec.pallas_v2:
-                    from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity
-                else:
-                    from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
-
-                new_s = grown_strip_capacity(spec, strip_ovf)
-                if pallas_v2 and new_s == spec.strip_capacity:
-                    # pinned at the VMEM-safe union-strip cap and still
-                    # overflowing: fall back to the v1 per-dx strips
-                    pallas_v2 = False
-                    new_s = 0
-            new_w = spec.wcap
-            if need_w:
-                from pbf_sph_tpu.ops.pallas_pbf2 import (
-                    WCAP_MAX, default_wcap, grown_wcap,
-                )
-
-                new_w = grown_wcap(spec.wcap or default_wcap(), wcap_ovf)
-                if new_w == (spec.wcap or default_wcap()):
-                    # wcap is pinned at the VMEM-safe cap and still overflows:
-                    # fall back to the v1 strip-window kernels for this run
-                    assert new_w == WCAP_MAX
-                    pallas_v2 = False
-            mc_pallas = spec.mc_pallas
-            if need_mc:
-                cand = -(-(max(new_s, spec.strip_capacity, 8192) + mc_ovf)
-                         // 2048) * 2048
-                if cand <= 49152:
-                    new_s = max(new_s, cand)
-                else:
-                    mc_pallas = False  # fall back to the XLA MC field
-            spec = dataclasses.replace(
-                spec, cell_capacity=new_k, surface=surface, strip_capacity=new_s,
-                wcap=new_w, mc_pallas=mc_pallas, pallas_v2=pallas_v2,
-            )
+            spec = dataclasses.replace(spec, **changes)
         else:
             raise RuntimeError("capacity growth did not converge")
 

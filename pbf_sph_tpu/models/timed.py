@@ -110,7 +110,7 @@ def advance_timed(
     stop()
 
     stop = watch.start(f"CPU query({spec.scene.n_queries})")
-    q_ids, q_counts = sync(
+    q_ids, q_counts, _q_ovf = sync(
         jax.jit(
             lambda st, tbl: _queries(
                 scn, spec, st.pid, st.ptype, st.alive, tbl, min_extent, dtype

@@ -44,6 +44,10 @@ from pbf_sph_tpu.ops.pallas_pbf import (
 )
 
 META_SKIP = np.float32(-2e9)
+# VMEM-safe strip bound for the node kernel (res-1.0 node blocks in
+# compressed regions span ~1200 cells at occupancy ~35 => ~42k-column strips;
+# scratch 2*3*8*smax*4B = 9.4MB at this cap)
+MC_SMAX_CAP = 49152
 
 
 def _node_static_plan(mc: McSpec, grid: GridSpec):

@@ -62,11 +62,14 @@ class ShardSpec:
     cell_capacity: int
     dtype: str = "float32"
     scene: SceneSpec = SceneSpec()
-    # run the Pallas v2 phase pipeline in the local step (the production
-    # kernels); False = the XLA gather phases
+    # run the Pallas phase pipeline in the local step (the production v1
+    # strip-window kernels by default; pallas_v2=True opts into the v2
+    # compacted-candidate pipeline, mirroring StepSpec.pallas_v2).
+    # False = the XLA gather phases.
     use_pallas: bool = False
+    pallas_v2: bool = False
     strip_capacity: int = 0
-    wcap: int = 0
+    wcap: int = 0  # v2 candidate-slab capacity (used only with pallas_v2)
     # initial-bounds min x (world space); used only by distribute_particles
     min_bound_x: float = 0.0
     # LOCAL marching-cubes spec (slab_w*res+1 node columns); None = no surface
@@ -90,7 +93,7 @@ class ShardSpec:
     def create(config, n_dev: int, count: int, h: float,
                cell_capacity: int = 48, dtype: str = "float32",
                cap_local: int = 0, scene: Scene = None,
-               use_pallas: bool = False) -> "ShardSpec":
+               use_pallas: bool = False, pallas_v2: bool = False) -> "ShardSpec":
         grid = GridSpec.from_bounds(config.min_bound, config.max_bound, config.scale, h)
         gx = grid.dims[0]
         slab_w = -(-gx // n_dev)
@@ -144,6 +147,7 @@ class ShardSpec:
             dtype=dtype,
             scene=sspec,
             use_pallas=use_pallas,
+            pallas_v2=pallas_v2,
             min_bound_x=float(np.asarray(config.min_bound, np.float32)[0]),
             surface=surface,
         )
@@ -164,8 +168,10 @@ def _sharded_queries(spec: ShardSpec, scn, me, pid, ptype, alive, cells_l,
 
     sc = spec.scene
     qcap = sc.query_capacity
+    overflow = jnp.asarray(0, jnp.int32)
     if sc.n_queries == 0:
-        return (jnp.zeros((0, qcap), jnp.int32), jnp.zeros((0,), jnp.int32))
+        return (jnp.zeros((0, qcap), jnp.int32), jnp.zeros((0,), jnp.int32),
+                overflow)
     lgrid = spec.grid_local
     lnx, lny, lnz = lgrid.dims
     gnx, gny, gnz = spec.grid_global.dims
@@ -196,7 +202,10 @@ def _sharded_queries(spec: ShardSpec, scn, me, pid, ptype, alive, cells_l,
         out_counts.append(
             jax.lax.psum(jnp.sum(keep).astype(jnp.int32), AXIS)
         )
-    return jnp.stack(out_ids), jnp.stack(out_counts)
+        overflow = jnp.maximum(
+            overflow, jnp.where(mine, (end - start) - qcap, 0)
+        )
+    return jnp.stack(out_ids), jnp.stack(out_counts), jnp.maximum(overflow, 0)
 
 
 def _compact_first(flag, cap: int):
@@ -228,7 +237,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         capacity=CT, cell_capacity=K, grid=lgrid, h=spec.h, scale=spec.scale,
         iteration=spec.iteration, dtype=spec.dtype, scene=spec.scene,
         surface=None, strip_capacity=spec.strip_capacity, wcap=spec.wcap,
-        mc_pallas=False,
+        pallas_v2=spec.pallas_v2, mc_pallas=False,
     )
     phases, phases2, _mc = make_phase_objects(local_spec, spec.use_pallas)
 
@@ -420,7 +429,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         # 4b. point queries: the owning device scans its centre cell, results
         # are merged across the mesh with a psum (id+1 protocol: non-owners
         # contribute 0, empty slots decode back to -1)
-        q_ids, q_counts = _sharded_queries(
+        q_ids, q_counts, q_overflow = _sharded_queries(
             spec, scn, me, pid, ptype, alive, cells_l, cell_table, min_extent, dtype
         )
 
@@ -501,6 +510,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             spawn_dropped=(jnp.asarray(total_spawn, jnp.int32) - spawned)[None],
             strip_overflow=strip_ovf[None],
             wcap_overflow=wcap_ovf[None],
+            query_overflow=q_overflow[None],
             query_ids=q_ids,
             query_counts=q_counts,
         )
@@ -528,7 +538,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     stats_specs = dict(
         alive_count=P(AXIS), migrate_dropped=P(AXIS), ghost_dropped=P(AXIS),
         spawn_dropped=P(AXIS), strip_overflow=P(AXIS), wcap_overflow=P(AXIS),
-        query_ids=P(), query_counts=P(),
+        query_overflow=P(AXIS), query_ids=P(), query_counts=P(),
     )
     if spec.surface is not None:
         stats_specs.update(

@@ -68,3 +68,33 @@ def test_growth_caps_pin():
             dims = (88, 88, 88)
 
     assert p2.grown_strip_capacity(SpecLike(), 4096) == p2.STRIP_MAX
+
+
+def test_query_overflow_grows_capacity():
+    """A query cell holding more particles than query_capacity must grow and
+    return the FULL id set — mirroring the reference's unbounded
+    std::vector result (`src/omp/ompsph.hpp:167-186`; round-2 missing #1:
+    the jitted path used to truncate silently at 128)."""
+    from pbf_sph_tpu.core.scene import simple_config_with_2_cubes
+    from pbf_sph_tpu.core.types import ParticleSoA, Query
+
+    _, cfg, _ = simple_config_with_2_cubes(100, 1, 500.0)
+    n = 160  # > default query_capacity of 128, all inside ONE grid cell
+    rng = np.random.default_rng(0)
+    # cell size = h*scale = 50 world units; min_extent puts a cell boundary
+    # grid at world 50k (k int), so [505, 545]^3 sits inside one cell
+    pos = rng.uniform(505.0, 545.0, size=(n, 3)).astype(np.float32)
+    xs = ParticleSoA(
+        pid=np.arange(n, dtype=np.int32),
+        ptype=np.zeros(n, np.int32),
+        mass=np.ones(n, np.float32),
+        position=pos,
+        velocity=np.zeros((n, 3), np.float32),
+        colour=np.ones((n, 4), np.float32),
+    )
+    scene = Scene(queries=[Query(id=9, point=(520.0, 520.0, 520.0))])
+    solver = JaxSolver(h=cfg.h)
+    res, _ = solver.advance(cfg, scene, xs)
+    assert len(res.queries) == 1
+    got = set(res.queries[0].neighbours.tolist())
+    assert got == set(range(n))
