@@ -121,8 +121,10 @@ def main(argv=None) -> int:
         return 0
 
     dtype = "float64" if args.fp64 else "float32"
-    if args.impl in ("cpp", "pallas") and args.fp64:
-        # mirror the reference's explicit fp64 rejection (benchmark.cpp:140-141)
+    if args.impl == "pallas" and args.fp64:
+        # mirror the reference's explicit fp64 rejection (benchmark.cpp:140-141);
+        # jax/numpy/cpp honor --fp64 (cpp via the pbf_advance_f64 entry,
+        # reference benchmark.cpp:159-165)
         print(f"FP64 is not supported for the {args.impl} backend!", file=sys.stderr)
         return 1
 
@@ -134,7 +136,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_default_device", dev)
 
     kwargs = {}
-    if args.impl in ("jax", "pallas", "numpy"):
+    if args.impl in ("jax", "pallas", "numpy", "cpp"):
         kwargs["dtype"] = dtype
     if args.fp64:
         import jax

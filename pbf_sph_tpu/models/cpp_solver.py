@@ -21,27 +21,34 @@ from pbf_sph_tpu.core.types import (
 )
 from pbf_sph_tpu.models.solver import Solver
 
-_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
-def _load_lib():
+def _load_lib(dtype=np.float32):
+    """Bind the fp32 `pbf_advance` or fp64 `pbf_advance_f64` entry (the
+    reference OMP backend's --fp64 switch, `src/benchmark.cpp:159-165`)."""
     from pbf_sph_tpu.native.build import build_oracle
 
     lib = ct.CDLL(str(build_oracle()))
-    fn = lib.pbf_advance
+    if np.dtype(dtype) == np.float64:
+        fn = lib.pbf_advance_f64
+        c_real = ct.c_double
+    else:
+        fn = lib.pbf_advance
+        c_real = ct.c_float
+    _fp = np.ctypeslib.ndpointer(np.dtype(dtype), flags="C_CONTIGUOUS")
     fn.restype = ct.c_int
     fn.argtypes = [
-        ct.c_float, ct.c_float, ct.c_float, ct.c_int, _f32p,  # h dt scale iter force
-        _f32p, _f32p,  # bounds
-        ct.c_int, ct.c_float, ct.c_float, ct.c_float, ct.c_float,  # surface
-        ct.c_int, _f32p, _f32p,  # wells
-        ct.c_int, _f32p, _f32p, _f32p, _i32p, _f32p,  # sources
-        ct.c_int, _f32p, _f32p,  # drains
-        ct.c_int, _f32p,  # queries
-        ct.c_int, _i32p, _i32p, _f32p, _f32p, _f32p, _f32p,  # particles in
-        ct.c_int, _i32p, _i32p, _f32p, _f32p, _f32p, _f32p, _i32p,  # out
-        ct.c_int, _f32p, _f32p, _f32p, _i32p,  # mesh out
+        c_real, c_real, c_real, ct.c_int, _fp,  # h dt scale iter force
+        _fp, _fp,  # bounds
+        ct.c_int, c_real, c_real, c_real, c_real,  # surface
+        ct.c_int, _fp, _fp,  # wells
+        ct.c_int, _fp, _fp, _fp, _i32p, _fp,  # sources
+        ct.c_int, _fp, _fp,  # drains
+        ct.c_int, _fp,  # queries
+        ct.c_int, _i32p, _i32p, _fp, _fp, _fp, _fp,  # particles in
+        ct.c_int, _i32p, _i32p, _fp, _fp, _fp, _fp, _i32p,  # out
+        ct.c_int, _fp, _fp, _fp, _i32p,  # mesh out
         ct.c_int, _i32p, _i32p,  # query out
         _i32p,  # stats
     ]
@@ -49,14 +56,18 @@ def _load_lib():
 
 
 class CppSolver(Solver):
-    def __init__(self, h: float = 0.1, query_capacity: int = 128, tri_capacity: int = 0):
+    def __init__(self, h: float = 0.1, dtype: str = "float32",
+                 query_capacity: int = 128, tri_capacity: int = 0):
         super().__init__(h)
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+            raise ValueError(f"unsupported dtype {dtype}")
         self.query_capacity = int(query_capacity)
         self.tri_capacity = int(tri_capacity)
-        self._fn = _load_lib()
+        self._fn = _load_lib(self.dtype)
 
     def advance(self, config: SphParams, scene: Scene, xs: ParticleSoA):
-        f = np.float32
+        f = self.dtype.type
         n = len(xs)
         total_spawn = 0
         for s in scene.sources:

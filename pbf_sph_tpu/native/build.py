@@ -53,10 +53,22 @@ def build_oracle(force: bool = False) -> Path:
     if lib.exists() and not force:
         return lib
     (BUILD / "mc_tables.h").write_text(header)
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-        "-march=native", "-ffast-math", "-fno-finite-math-only",
-        f"-I{BUILD}", str(src), "-o", str(lib),
+    # two objects from one source: fp32 `pbf_advance` + fp64 `pbf_advance_f64`
+    # (the reference OMP backend's --fp64 switch, src/benchmark.cpp:159-165);
+    # anonymous-namespace internals have internal linkage, so no clashes
+    common = [
+        "g++", "-O3", "-std=c++17", "-fPIC", "-fopenmp",
+        "-march=native", "-ffast-math", "-fno-finite-math-only", f"-I{BUILD}",
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    o32 = BUILD / f"ompsph32_{tag}.o"
+    o64 = BUILD / f"ompsph64_{tag}.o"
+    subprocess.run(common + ["-c", str(src), "-o", str(o32)],
+                   check=True, capture_output=True, text=True)
+    subprocess.run(
+        common + ["-DSPH_REAL=double", "-DPBF_ENTRY=pbf_advance_f64",
+                  "-c", str(src), "-o", str(o64)],
+        check=True, capture_output=True, text=True)
+    subprocess.run(
+        ["g++", "-shared", "-fopenmp", str(o32), str(o64), "-o", str(lib)],
+        check=True, capture_output=True, text=True)
     return lib

@@ -23,16 +23,29 @@
 
 #include "mc_tables.h"  // generated: TRI_TABLE/EDGE_TABLE/NUM_VERTS_TABLE/CUBE_OFFSETS/EDGE_CORNERS
 
+// Scalar type: compiled twice — fp32 (`pbf_advance`) and fp64
+// (`pbf_advance_f64`), mirroring the reference OMP backend's --fp64 switch
+// (reference src/benchmark.cpp:159-165).  Literal constants go through
+// real(...) so the double build uses full-precision constants like the
+// reference's templated Solver<size_t, double>.
+#ifndef SPH_REAL
+#define SPH_REAL float
+#endif
+#ifndef PBF_ENTRY
+#define PBF_ENTRY pbf_advance
+#endif
+using real = SPH_REAL;
+
 namespace {
 
-constexpr float VD = 0.49f;
-constexpr float RHO = 6378.0f;
-constexpr float RHO_RECIP = 1.0f / RHO;
-constexpr float EPS = 1e-8f;
-constexpr float CFM_EPSILON = 600.0f;
-constexpr float CORR_DELTA_Q = 0.3f;
-constexpr float CORR_K = 0.0001f;
-constexpr float CORR_N = 4.0f;
+constexpr real VD = real(0.49);
+constexpr real RHO = real(6378.0);
+constexpr real RHO_RECIP = real(1.0) / RHO;
+constexpr real EPS = real(1e-8);
+constexpr real CFM_EPSILON = real(600.0);
+constexpr real CORR_DELTA_Q = real(0.3);
+constexpr real CORR_K = real(0.0001);
+constexpr real CORR_N = real(4.0);
 
 constexpr int FLUID = 0;
 constexpr int OBSTACLE = 1;
@@ -40,32 +53,32 @@ constexpr int OBSTACLE = 1;
 constexpr int64_t KEY_BIG = int64_t(1) << 40;
 
 struct V3 {
-  float x = 0, y = 0, z = 0;
+  real x = 0, y = 0, z = 0;
 };
 struct V4 {
-  float x = 0, y = 0, z = 0, w = 0;
+  real x = 0, y = 0, z = 0, w = 0;
 };
 
-inline V3 v3(const float* p) { return {p[0], p[1], p[2]}; }
+inline V3 v3(const real* p) { return {p[0], p[1], p[2]}; }
 inline V3 operator+(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
 inline V3 operator-(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
-inline V3 operator*(V3 a, float s) { return {a.x * s, a.y * s, a.z * s}; }
-inline V3 operator/(V3 a, float s) { return {a.x / s, a.y / s, a.z / s}; }
+inline V3 operator*(V3 a, real s) { return {a.x * s, a.y * s, a.z * s}; }
+inline V3 operator/(V3 a, real s) { return {a.x / s, a.y / s, a.z / s}; }
 inline V4 operator+(V4 a, V4 b) { return {a.x + b.x, a.y + b.y, a.z + b.z, a.w + b.w}; }
 inline V4 operator-(V4 a, V4 b) { return {a.x - b.x, a.y - b.y, a.z - b.z, a.w - b.w}; }
-inline V4 operator*(V4 a, float s) { return {a.x * s, a.y * s, a.z * s, a.w * s}; }
-inline V4 operator/(V4 a, float s) { return {a.x / s, a.y / s, a.z / s, a.w / s}; }
-inline float dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
-inline float len(V3 a) { return std::sqrt(dot(a, a)); }
-inline float clampf(float v, float lo, float hi) { return std::fmin(hi, std::fmax(lo, v)); }
+inline V4 operator*(V4 a, real s) { return {a.x * s, a.y * s, a.z * s, a.w * s}; }
+inline V4 operator/(V4 a, real s) { return {a.x / s, a.y / s, a.z / s, a.w / s}; }
+inline real dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline real len(V3 a) { return std::sqrt(dot(a, a)); }
+inline real clampf(real v, real lo, real hi) { return std::fmin(hi, std::fmax(lo, v)); }
 inline V3 clamp3(V3 v, V3 lo, V3 hi) {
   return {clampf(v.x, lo.x, hi.x), clampf(v.y, lo.y, hi.y), clampf(v.z, lo.z, hi.z)};
 }
-inline V4 clamp4(V4 v, float lo, float hi) {
+inline V4 clamp4(V4 v, real lo, real hi) {
   return {clampf(v.x, lo, hi), clampf(v.y, lo, hi), clampf(v.z, lo, hi), clampf(v.w, lo, hi)};
 }
-inline V3 mix3(V3 a, V3 b, float t) { return a + (b - a) * t; }
-inline V4 mix4(V4 a, V4 b, float t) { return a + (b - a) * t; }
+inline V3 mix3(V3 a, V3 b, real t) { return a + (b - a) * t; }
+inline V4 mix4(V4 a, V4 b, real t) { return a + (b - a) * t; }
 
 // Morton 10-bit/axis interleave (semantics of reference src/curves.h:72-88).
 inline int64_t spread(int64_t v) {
@@ -85,33 +98,33 @@ inline int64_t code_of(int64_t cx, int64_t cy, int64_t cz) {
   return morton3(cx, cy, cz);
 }
 
-inline int64_t trunc_cell(float v) { return (int64_t)std::trunc(v); }
+inline int64_t trunc_cell(real v) { return (int64_t)std::trunc(v); }
 
 struct Particle {
   int32_t id;
   int32_t type;
-  float mass;
+  real mass;
   V3 pos, vel;
   V4 col;
   // scratch
   V3 pstar;
   int64_t cx, cy, cz;
   int64_t code, key;
-  float lambda = 0;
+  real lambda = 0;
 };
 
-inline float poly6(float r2, float h, float factor) {
-  float hh = h * h;
+inline real poly6(real r2, real h, real factor) {
+  real hh = h * h;
   if (r2 <= hh) {
-    float d = hh - r2;
+    real d = hh - r2;
     return factor * d * d * d;
   }
-  return 0.0f;
+  return real(0.0);
 }
 
-inline V3 spiky_grad(V3 d, float r, float h, float factor) {
+inline V3 spiky_grad(V3 d, real r, real h, real factor) {
   if (r >= EPS && r <= h) {
-    float s = factor * ((h - r) * (h - r) / r);
+    real s = factor * ((h - r) * (h - r) / r);
     return d * s;
   }
   return V3{};
@@ -159,26 +172,26 @@ inline void for_each_in_cells(const int64_t* codes27, const std::vector<int64_t>
 extern "C" {
 
 // Returns 0 on success, -1 if output capacity exceeded.
-int pbf_advance(
+int PBF_ENTRY(
     // config
-    float h, float dt, float scale, int iteration, const float* constant_force,
-    const float* min_bound_in, const float* max_bound_in,
-    int surface_on, float mc_resolution, float mc_isolevel, float mc_particle_size,
-    float mc_particle_influence,
+    real h, real dt, real scale, int iteration, const real* constant_force,
+    const real* min_bound_in, const real* max_bound_in,
+    int surface_on, real mc_resolution, real mc_isolevel, real mc_particle_size,
+    real mc_particle_influence,
     // scene
-    int n_wells, const float* wells_centre, const float* wells_force,
-    int n_sources, const float* src_centre, const float* src_velocity,
-    const float* src_colour, const int32_t* src_tag, const float* src_rate,
-    int n_drains, const float* drain_centre, const float* drain_width,
-    int n_queries, const float* q_point,
+    int n_wells, const real* wells_centre, const real* wells_force,
+    int n_sources, const real* src_centre, const real* src_velocity,
+    const real* src_colour, const int32_t* src_tag, const real* src_rate,
+    int n_drains, const real* drain_centre, const real* drain_width,
+    int n_queries, const real* q_point,
     // particles in (SoA)
-    int n_in, const int32_t* pid, const int32_t* ptype, const float* mass,
-    const float* pos, const float* vel, const float* col,
+    int n_in, const int32_t* pid, const int32_t* ptype, const real* mass,
+    const real* pos, const real* vel, const real* col,
     // particle outputs (capacity cap)
-    int cap, int32_t* o_pid, int32_t* o_ptype, float* o_mass, float* o_pos,
-    float* o_vel, float* o_col, int32_t* n_out,
+    int cap, int32_t* o_pid, int32_t* o_ptype, real* o_mass, real* o_pos,
+    real* o_vel, real* o_col, int32_t* n_out,
     // mesh outputs (capacity tri_cap triangles)
-    int tri_cap, float* o_vs, float* o_ns, float* o_cs, int32_t* n_tris,
+    int tri_cap, real* o_vs, real* o_ns, real* o_cs, int32_t* n_tris,
     // query outputs (qcap slots per query)
     int qcap, int32_t* o_qids, int32_t* o_qcounts,
     // stats
@@ -201,20 +214,20 @@ int pbf_advance(
   }
 
   // 1. sources (reference src/omp/ompsph.hpp:93-105)
-  const float spacing = h * scale / 2.0f;
+  const real spacing = h * scale / real(2.0);
   for (int s = 0; s < n_sources; ++s) {
-    float size = std::sqrt(src_rate[s]);
+    real size = std::sqrt(src_rate[s]);
     int width = (int)std::floor(size);
     int depth = (int)std::ceil(size);
     V3 centre = v3(src_centre + 3 * s);
-    V3 offset = centre - V3{(float)width, 0, (float)depth} * 0.5f * spacing;
+    V3 offset = centre - V3{(real)width, 0, (real)depth} * real(0.5) * spacing;
     for (int x = 0; x < width; ++x) {
       for (int z = 0; z < depth; ++z) {
         Particle p;
         p.id = src_tag[s];
         p.type = FLUID;
-        p.mass = 1.0f;
-        p.pos = offset + V3{(float)x, 0, (float)z} * spacing;
+        p.mass = real(1.0);
+        p.pos = offset + V3{(real)x, 0, (real)z} * spacing;
         p.vel = v3(src_velocity + 3 * s);
         p.col = {src_colour[4 * s], src_colour[4 * s + 1], src_colour[4 * s + 2],
                  src_colour[4 * s + 3]};
@@ -245,7 +258,7 @@ int pbf_advance(
   if (n > cap) return -1;
 
   // 3. advect (reference src/omp/ompsph.hpp:130-155)
-  const float padding = h * 2.0f;
+  const real padding = h * real(2.0);
   const V3 min_extent = min_bound / scale - V3{padding, padding, padding};
   const V3 max_extent = max_bound / scale + V3{padding, padding, padding};
   const int64_t ex = (int64_t)((max_extent.x - min_extent.x) / h);
@@ -260,8 +273,8 @@ int pbf_advance(
       V3 force = g * p.mass;
       for (int w = 0; w < n_wells; ++w) {
         V3 centre = v3(wells_centre + 3 * w);
-        float dist = len(p.pos - centre);
-        if (dist < 75.0f) {
+        real dist = len(p.pos - centre);
+        if (dist < real(75.0)) {
           V3 rhat = (centre - p.pos) / dist;
           V3 fw = rhat * wells_force[w] * p.mass / (dist * dist);
           fw = clamp3(fw, V3{-10, -10, -10}, V3{10, 10, 10});
@@ -330,18 +343,18 @@ int pbf_advance(
       }
     });
     if (cnt != 0) {
-      V4 out = mix4(ps[a].col, (mixture / (float)cnt) * 1.33f, dt / 750.0f);
-      new_col[a] = clamp4(out, 0.03f, 1.0f);
+      V4 out = mix4(ps[a].col, (mixture / (real)cnt) * real(1.33), dt / real(750.0));
+      new_col[a] = clamp4(out, real(0.03), real(1.0));
     }
   }
   for (int a = 0; a < n; ++a) ps[a].col = new_col[a];
 
   // 8. constraint solve (reference src/omp/ompsph.hpp:209-249)
-  const float pi = std::acos(-1.0f);
-  const float p6f = 315.0f / (64.0f * pi * std::pow(h, 9.0f));
-  const float skf = -(45.0f / (pi * std::pow(h, 6.0f)));
-  const float cdq = CORR_DELTA_Q * h;
-  const float p6dq = poly6(cdq * cdq, h, p6f);
+  const real pi = std::acos(-real(1.0));
+  const real p6f = real(315.0) / (real(64.0) * pi * std::pow(h, real(9.0)));
+  const real skf = -(real(45.0) / (pi * std::pow(h, real(6.0))));
+  const real cdq = CORR_DELTA_Q * h;
+  const real p6dq = poly6(cdq * cdq, h, p6f);
 
   std::vector<V3> dp(n);
   for (int itr = 0; itr < iteration; ++itr) {
@@ -352,16 +365,16 @@ int pbf_advance(
         continue;
       }
       V3 grad{};
-      float p6sum = 0;
+      real p6sum = 0;
       for_each_neighbour(ps[a], table, maxz, [&](size_t b) {
         V3 d = ps[a].pstar - ps[b].pstar;
-        float r = len(d);
+        real r = len(d);
         grad = grad + spiky_grad(d, r, h, skf) * RHO_RECIP;
         p6sum += poly6(r * r, h, p6f);
       });
-      float rho = ps[a].mass * p6sum;
-      float norm2 = dot(grad, grad);
-      float ci = rho / RHO - 1.0f;
+      real rho = ps[a].mass * p6sum;
+      real norm2 = dot(grad, grad);
+      real ci = rho / RHO - real(1.0);
       ps[a].lambda = -ci / (norm2 + CFM_EPSILON);
     }
 
@@ -371,11 +384,11 @@ int pbf_advance(
       V3 acc{};
       for_each_neighbour(ps[a], table, maxz, [&](size_t b) {
         V3 d = ps[a].pstar - ps[b].pstar;
-        float r = len(d);
-        float p6 = poly6(r * r, h, p6f);
-        float x = p6 / p6dq;
-        float corr = -CORR_K * (x * x) * (x * x);  // x^CORR_N, CORR_N = 4
-        float factor = (ps[a].lambda + ps[b].lambda + corr) * RHO_RECIP;
+        real r = len(d);
+        real p6 = poly6(r * r, h, p6f);
+        real x = p6 / p6dq;
+        real corr = -CORR_K * (x * x) * (x * x);  // x^CORR_N, CORR_N = 4
+        real factor = (ps[a].lambda + ps[b].lambda + corr) * RHO_RECIP;
         acc = acc + spiky_grad(d, r, h, skf) * factor;
       });
       dp[a] = acc;
@@ -394,33 +407,33 @@ int pbf_advance(
     if (ps[a].type == OBSTACLE) continue;
     V3 dx = ps[a].pstar - ps[a].pos / scale;
     ps[a].pos = ps[a].pstar * scale;
-    ps[a].vel = (dx * (1.0f / dt) + ps[a].vel) * VD;
+    ps[a].vel = (dx * (real(1.0) / dt) + ps[a].vel) * VD;
   }
 
   // 10. marching cubes (reference src/omp/ompsph.hpp:277-477)
   if (surface_on) {
-    const float res = mc_resolution;
-    const float step = h / res;
-    const float iso = mc_isolevel;
-    const float psize = mc_particle_size;
-    const float pinfl = mc_particle_influence;
-    const int64_t sx = (int64_t)std::floor((float)ex * res) + 1;
-    const int64_t sy = (int64_t)std::floor((float)ey * res) + 1;
-    const int64_t sz = (int64_t)std::floor((float)ez * res) + 1;
+    const real res = mc_resolution;
+    const real step = h / res;
+    const real iso = mc_isolevel;
+    const real psize = mc_particle_size;
+    const real pinfl = mc_particle_influence;
+    const int64_t sx = (int64_t)std::floor((real)ex * res) + 1;
+    const int64_t sy = (int64_t)std::floor((real)ey * res) + 1;
+    const int64_t sz = (int64_t)std::floor((real)ez * res) + 1;
     const int64_t L = sx * sy * sz;
-    std::vector<float> lat_v((size_t)L, 0.0f);
+    std::vector<real> lat_v((size_t)L, real(0.0));
     std::vector<V3> lat_n((size_t)L);
     std::vector<V4> lat_c((size_t)L);
-    const float threshold = h * scale;
+    const real threshold = h * scale;
 
 #pragma omp parallel for collapse(3)
     for (int64_t x = 0; x < sx; ++x) {
       for (int64_t y = 0; y < sy; ++y) {
         for (int64_t z = 0; z < sz; ++z) {
-          const V3 a = (min_extent + V3{(float)x, (float)y, (float)z} * step) * scale;
-          const int64_t zx = (int64_t)((float)x / res);
-          const int64_t zy = (int64_t)((float)y / res);
-          const int64_t zz = (int64_t)((float)z / res);
+          const V3 a = (min_extent + V3{(real)x, (real)y, (real)z} * step) * scale;
+          const int64_t zx = (int64_t)((real)x / res);
+          const int64_t zy = (int64_t)((real)y / res);
+          const int64_t zz = (int64_t)((real)z / res);
           if (zx == ex && zy == ey && zz == ez) continue;  // far-corner node
           auto cl = [](int64_t v, int64_t lo, int64_t hi) {
             return std::max(lo, std::min(hi, v));
@@ -435,27 +448,27 @@ int pbf_advance(
             for (int ky = 0; ky < 3; ++ky)
               for (int kx = 0; kx < 3; ++kx)
                 codes27[k++] = code_of(xs3[kx], ys3[ky], zs3[kz]);
-          float v = 0;
+          real v = 0;
           V3 normal{};
           V4 colsum{};
           int cnt = 0;
           for_each_in_cells(codes27, table, maxz, [&](size_t b) {
             if (ps[b].type == OBSTACLE) return;
             V3 l = ps[b].pos - a;
-            float d = len(l);
+            real d = len(l);
             if (d < threshold) {
-              float denom = std::pow(d, pinfl);
+              real denom = std::pow(d, pinfl);
               v += psize / denom;
               normal = normal + (l / denom) * (-pinfl * psize);
               colsum = colsum + ps[b].col;
               cnt++;
             }
           });
-          float nl = len(normal);
+          real nl = len(normal);
           const size_t idx = (size_t)(x * sy * sz + y * sz + z);
           lat_v[idx] = v;
           lat_n[idx] = normal / nl;          // NaN when empty (reference parity)
-          lat_c[idx] = colsum / (float)cnt;  // NaN when cnt == 0 (parity)
+          lat_c[idx] = colsum / (real)cnt;  // NaN when cnt == 0 (parity)
         }
       }
     }
@@ -477,7 +490,7 @@ int pbf_advance(
         const int64_t ox = cx + CUBE_OFFSETS[c][0];
         const int64_t oy = cy + CUBE_OFFSETS[c][1];
         const int64_t oz = cz + CUBE_OFFSETS[c][2];
-        const float val = lat_v[(size_t)(ox * sy * sz + oy * sz + oz)];
+        const real val = lat_v[(size_t)(ox * sy * sz + oy * sz + oz)];
         if (val < iso) ci |= 1 << c;
       }
       cases[(size_t)i] = ci;
@@ -500,7 +513,7 @@ int pbf_advance(
       const int64_t cy = rem / mz;
       const int64_t cz = rem - cy * mz;
       const int ci = cases[(size_t)i];
-      float vals[8];
+      real vals[8];
       V3 cpos[8], cn[8];
       V4 cc[8];
       for (int c = 0; c < 8; ++c) {
@@ -509,7 +522,7 @@ int pbf_advance(
         const int64_t oz = cz + CUBE_OFFSETS[c][2];
         const size_t li = (size_t)(ox * sy * sz + oy * sz + oz);
         vals[c] = lat_v[li];
-        cpos[c] = (min_extent + V3{(float)ox, (float)oy, (float)oz} * step) * scale;
+        cpos[c] = (min_extent + V3{(real)ox, (real)oy, (real)oz} * step) * scale;
         cn[c] = lat_n[li];
         cc[c] = lat_c[li];
       }
@@ -518,7 +531,7 @@ int pbf_advance(
       for (int e = 0; e < 12; ++e) {
         if (!(EDGE_TABLE[ci] & (1 << e))) continue;
         const int f = EDGE_CORNERS[e][0], t = EDGE_CORNERS[e][1];
-        const float tt = (iso - vals[f]) / (vals[t] - vals[f]);
+        const real tt = (iso - vals[f]) / (vals[t] - vals[f]);
         ev[e] = mix3(cpos[f], cpos[t], tt);
         en[e] = mix3(cn[f], cn[t], tt);
         ec[e] = mix4(cc[f], cc[t], tt);

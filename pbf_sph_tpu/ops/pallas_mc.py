@@ -48,9 +48,15 @@ META_SKIP = np.float32(-2e9)
 # compressed regions span ~1200 cells at occupancy ~35 => ~42k-column strips;
 # scratch 2*3*8*smax*4B = 9.4MB at this cap)
 MC_SMAX_CAP = 49152
+# Rows per node sub-block.  At res 1.0 cell-sorted nodes advance one CELL per
+# row, so windows shared by a sub-block span ~(sub+3) cells; sub=64 (the
+# particle-phase SUB) made every node pay ~9*67*occupancy candidate slots —
+# the round-2 mc128k field-kernel bottleneck (173 of 327 ms).  sub=8 is the
+# native f32 sublane tile and cuts slots/node ~6x.
+MC_SUB = 8
 
 
-def _node_static_plan(mc: McSpec, grid: GridSpec):
+def _node_static_plan(mc: McSpec, grid: GridSpec, sub: int = MC_SUB):
     """Static per-sub-block window cell bounds + node metadata (NumPy)."""
     nxn, nyn, nzn = mc.sample
     ex, ey, ez = grid.extent
@@ -88,14 +94,14 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
     # Per-sub-block window cell bounds.  Node (lex) order is NOT cell-lex
     # monotone across node-row boundaries (z resets while the cell row may
     # stay the same), so bounds are true min/max over each sub-block's nodes.
-    nsub = lpad // SUB
+    nsub = lpad // sub
 
     def cl(v, lo, hi):
         return np.clip(v, lo, hi)
 
     def per_sub(vals, reduce_fn, fill):
         padded = np.concatenate([vals, np.full(lpad - L, fill, vals.dtype)])
-        return reduce_fn(padded.reshape(nsub, SUB), axis=1)
+        return reduce_fn(padded.reshape(nsub, sub), axis=1)
 
     lo_cells = np.zeros((nsub, 9), np.int64)
     hi_cells = np.zeros((nsub, 9), np.int64)
@@ -120,7 +126,7 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
     # range (NOT 0 — a zero lo drags the whole block's strip start to column
     # 0, making the last block's real windows span the entire particle array
     # and report a bogus ~capacity-sized strip overflow)
-    full_pad = np.arange(nsub) * SUB >= L
+    full_pad = np.arange(nsub) * sub >= L
     lo_cells[full_pad] = gnx * gny * gnz
     hi_cells[full_pad] = -1
 
@@ -137,17 +143,19 @@ def _node_static_plan(mc: McSpec, grid: GridSpec):
     )
 
 
-def plan_mc_windows(cell_table, static_plan, ncells: int, capacity: int, smax: int):
+def plan_mc_windows(cell_table, static_plan, ncells: int, capacity: int,
+                    smax: int, sub: int = MC_SUB):
     """Per-frame window bounds for the node kernel (static cell indices,
     dynamic table)."""
     lpad = static_plan["lpad"]
     nblocks = lpad // BLK
+    nsub_b = BLK // sub
     lo_cells = jnp.asarray(np.clip(static_plan["lo_cells"], 0, ncells), jnp.int32)
     hi_cells = jnp.asarray(np.clip(static_plan["hi_cells"] + 1, 0, ncells), jnp.int32)
     lo = cell_table[lo_cells]  # (nsub, 9)
     hi = cell_table[hi_cells]
-    lo = lo.reshape(nblocks, NSUB, 9)
-    hi = hi.reshape(nblocks, NSUB, 9)
+    lo = lo.reshape(nblocks, nsub_b, 9)
+    hi = hi.reshape(nblocks, nsub_b, 9)
 
     strip_of = [s // 3 for s in range(9)]
     # dx-strip start per block: min window start over the block's sub-blocks
@@ -171,6 +179,7 @@ def plan_mc_windows(cell_table, static_plan, ncells: int, capacity: int, smax: i
 def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
                        grid: GridSpec, h: float, scale: float,
                        particle_influence: float, interpret=False):
+    sub = plan.sub
     """Raw field sums per node.
 
     Candidate fields (8, C): [px, py, pz, clm, cr, cg, cb, ca] where clm is
@@ -194,10 +203,10 @@ def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
         return jnp.exp(np.float32(pinfl) * jnp.log(d))
 
     def body(wins, rows, sbuf, slot, out, t):
-        ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        acl = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        ax = rows[0, pl.ds(t * sub, sub)].reshape(sub, 1)
+        ay = rows[1, pl.ds(t * sub, sub)].reshape(sub, 1)
+        az = rows[2, pl.ds(t * sub, sub)].reshape(sub, 1)
+        acl = rows[3, pl.ds(t * sub, sub)].reshape(sub, 1)
 
         def make_chunk(off_s):
             def chunk(slot_, strip, o, lo, hi, carry):
@@ -229,14 +238,14 @@ def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
 
             return chunk
 
-        zero = jnp.zeros((SUB, WCOL), jnp.float32)
+        zero = jnp.zeros((sub, WCOL), jnp.float32)
         carry = (zero,) * 9
         for s in range(9):
             carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]), carry)
         for j, acc in enumerate(carry):
-            out[j, pl.ds(t * SUB, SUB)] = jnp.sum(acc, axis=1)
+            out[j, pl.ds(t * sub, sub)] = jnp.sum(acc, axis=1)
         for j in range(9, 16):
-            out[j, pl.ds(t * SUB, SUB)] = jnp.zeros((SUB,), jnp.float32)
+            out[j, pl.ds(t * sub, sub)] = jnp.zeros((sub,), jnp.float32)
 
     return _phase_pallas(body, nfields=8, nout=16, plan=plan, capacity=capacity,
                          interpret=interpret, rows_capacity=lpad, rows_nfields=4)
@@ -247,13 +256,16 @@ class PallasMcField:
 
     def __init__(self, capacity: int, grid: GridSpec, mc: McSpec, h: float,
                  scale: float, particle_influence: float, smax: int,
-                 interpret: bool = False):
+                 interpret: bool = False, sub: int = MC_SUB):
         self.grid = grid
         self.mc = mc
         self.h = h
         self.smax = smax
-        self.static = _node_static_plan(mc, grid)
-        self.plan = PallasPlanSpec(nblocks=self.static["lpad"] // BLK, smax=smax)
+        self.sub = sub
+        self.static = _node_static_plan(mc, grid, sub)
+        self.plan = PallasPlanSpec(
+            nblocks=self.static["lpad"] // BLK, smax=smax, sub=sub
+        )
         self.capacity = capacity
         self._call = make_mc_field_call(
             self.plan, capacity, self.static["lpad"], grid, h, scale,
@@ -265,7 +277,7 @@ class PallasMcField:
         st = self.static
         L = st["L"]
         wins, overflow = plan_mc_windows(
-            cell_table, st, self.grid.ncells, self.capacity, self.smax
+            cell_table, st, self.grid.ncells, self.capacity, self.smax, self.sub
         )
 
         # candidates: obstacles / non-members never contribute.  `cells` are

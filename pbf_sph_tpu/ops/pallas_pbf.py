@@ -58,6 +58,12 @@ STRIP_DXDY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 class PallasPlanSpec:
     nblocks: int
     smax: int  # per-dx-strip VMEM capacity (columns)
+    # rows per sub-block (rows sharing one set of stencil windows).  The
+    # particle phases use SUB=64 (windows span ~2 cells); the MC node kernel
+    # uses 8 at res 1.0, where 64 cell-sorted nodes span ~64 CELLS and the
+    # shared windows would be ~(sub+3)*occupancy columns wide (the round-2
+    # mc128k field-kernel bottleneck).
+    sub: int = SUB
 
 
 def grown_strip_capacity(step_spec, overflow: int) -> int:
@@ -135,9 +141,9 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
 # ---------------------------------------------------------------------------
 
 
-def _issue_strip_dmas(p_hbm, sbuf, sems, slot, wins_ref, smax):
+def _issue_strip_dmas(p_hbm, sbuf, sems, slot, wins_ref, smax, nsub_b=NSUB):
     for s in range(3):
-        start = pl.multiple_of(wins_ref[0, NSUB, 3 * s, 0], WCOL)
+        start = pl.multiple_of(wins_ref[0, nsub_b, 3 * s, 0], WCOL)
         pltpu.make_async_copy(
             p_hbm.at[:, pl.ds(start, smax)],
             sbuf.at[slot, s],
@@ -166,6 +172,7 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
     (the MC lattice kernel: rows = nodes, candidates = particles)."""
     smax = plan.smax
     nblocks = plan.nblocks
+    nsub_b = BLK // plan.sub
     rows_capacity = rows_capacity or capacity
     rows_nfields = rows_nfields or nfields
     assert rows_capacity == nblocks * BLK
@@ -176,24 +183,24 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
         @pl.when(b == 0)
         def _():
-            _issue_strip_dmas(p_any, sbuf, sems, 0, wins, smax)
+            _issue_strip_dmas(p_any, sbuf, sems, 0, wins, smax, nsub_b)
 
         @pl.when(b + 1 < nblocks)
         def _():
-            _issue_strip_dmas(p_any, sbuf, sems, 1 - slot, wins_nxt, smax)
+            _issue_strip_dmas(p_any, sbuf, sems, 1 - slot, wins_nxt, smax, nsub_b)
 
         _wait_strip_dmas(p_any, sbuf, sems, slot, smax)
 
-        for t in range(NSUB):  # static: row offsets must be compile-time
+        for t in range(nsub_b):  # static: row offsets must be compile-time
             body(wins, rows, sbuf, slot, out, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, NSUB + 1, 9, 2), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, nsub_b + 1, 9, 2), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NSUB + 1, 9, 2),
+            pl.BlockSpec((1, nsub_b + 1, 9, 2),
                          lambda b: (jnp.minimum(b + 1, nblocks - 1), 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -70,6 +70,12 @@ UNROLL = 4          # chunks per dense-kernel loop iteration (statically
                     # unrolled; compaction pads to a multiple with SENTINEL)
 NPIECES = 4         # gap-split pieces per sub-block (top NPIECES-1 cell gaps)
 NIV = 9 * NPIECES   # stencil intervals per sub-block after gap splitting
+# Only split at cell-id gaps larger than this: splitting at a small gap costs
+# a whole extra 128-column chunk per stencil offset (chunk rounding) to skip
+# a hole of only gap*occupancy columns.  At occupancy >= ~20 a 6-cell gap is
+# the break-even (round-3 measurement: unconditional top-k splitting inflated
+# the settled-state chunk count ~1.5x over the 9-interval floor).
+GAP_MIN = 6
 # Hard VMEM bounds: the compact/dense kernels' VMEM blocks scale with wcap
 # (out block ~ 2 * nf * NSUB * wcap * 4B) and the compact scratch with the
 # union-strip capacity (2 * nf_dma * smax * 4B), so growth beyond these must
@@ -178,10 +184,15 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     # pieces, which the dedup chain below collapses for free.
     linr = lin[: nsub * SUB].reshape(nsub, SUB)
     gaps = linr[:, 1:] - linr[:, :-1]                        # (nsub, SUB-1)
-    _, gidx = jax.lax.top_k(gaps, NPIECES - 1)               # (nsub, NPIECES-1)
+    gval, gidx = jax.lax.top_k(gaps, NPIECES - 1)            # (nsub, NPIECES-1)
+    # suppress splits at small gaps (see GAP_MIN): a suppressed boundary
+    # degenerates to a [last, last] piece whose intervals the dedup chain
+    # collapses into the preceding piece's coverage
+    gidx = jnp.where(gval > GAP_MIN, gidx, SUB - 1)
     gidx = jnp.sort(gidx, axis=1)
     starts = jnp.concatenate(
-        [jnp.zeros((nsub, 1), gidx.dtype), gidx + 1], axis=1
+        [jnp.zeros((nsub, 1), gidx.dtype), jnp.minimum(gidx + 1, SUB - 1)],
+        axis=1,
     )                                                        # (nsub, NPIECES)
     ends = jnp.concatenate(
         [gidx, jnp.full((nsub, 1), SUB - 1, gidx.dtype)], axis=1
@@ -189,66 +200,60 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     pmin = jnp.take_along_axis(linr, starts, axis=1)         # (nsub, NPIECES)
     pmax = jnp.take_along_axis(linr, ends, axis=1)
 
-    # NIV raw intervals per sub-block (piece x stencil offset)
-    los, his, strips = [], [], []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            off = dx * nynz + dy * nz
-            for g in range(NPIECES):
-                lo_cell = jnp.clip(pmin[:, g] + off - 1, 0, ncells)
-                hi_cell = jnp.clip(pmax[:, g] + off + 2, 0, ncells)
-                los.append(cell_table[lo_cell])
-                his.append(cell_table[hi_cell])
-                strips.append(dx + 1)
-    lo = jnp.stack(los, axis=1)             # (nsub, NIV) absolute columns
-    hi = jnp.stack(his, axis=1)
-    strip_of = jnp.broadcast_to(
-        jnp.asarray(strips, jnp.int32)[None, :], lo.shape
+    # NIV raw intervals per sub-block (piece x stencil offset): one fused
+    # cell_table gather for all lo/hi bounds
+    offs = np.asarray(
+        [dx * (ny * nz) + dy * nz for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        np.int32,
+    )                                                        # (9,)
+    lo_cell = jnp.clip(
+        pmin[:, None, :] + offs[None, :, None] - 1, 0, ncells
+    ).reshape(nsub, NIV)                                     # (nsub, 9*NPIECES)
+    hi_cell = jnp.clip(
+        pmax[:, None, :] + offs[None, :, None] + 2, 0, ncells
+    ).reshape(nsub, NIV)
+    bounds = cell_table[jnp.concatenate([lo_cell, hi_cell], axis=1)]
+    lo = bounds[:, :NIV]                                     # absolute columns
+    hi = bounds[:, NIV:]
+    strips_np = np.repeat(np.repeat(np.arange(3, dtype=np.int32), 3), NPIECES)
+    strip_of = jnp.broadcast_to(strips_np[None, :], lo.shape).astype(jnp.int32)
+
+    # Sort intervals by lo per sub-block (multi-operand lax.sort — values
+    # ride the sort network; argsort + take_alongs measured ~3x slower) so
+    # the cummax clip below yields DISJOINT intervals covering the union
+    # exactly once: for monotone los, anything clipped off interval i
+    # ([lo_i, rh)) lies inside the earlier interval whose hi achieved rh.
+    lo, hi, strip_of = jax.lax.sort((lo, hi, strip_of), num_keys=1)
+
+    # running-max dedup as a vectorized scan: rh_i = max(hi_0..hi_{i-1})
+    rh_prev = jnp.concatenate(
+        [jnp.zeros((nsub, 1), hi.dtype), jax.lax.cummax(hi, axis=1)[:, :-1]],
+        axis=1,
     )
-
-    # Sort intervals by lo per sub-block so the running-max clip below yields
-    # DISJOINT intervals covering the union exactly once: for monotone los,
-    # anything clipped off interval i ([lo_i, rh)) lies inside the earlier
-    # interval whose hi achieved rh.  (The unsplit 9-interval scheme had los
-    # monotone by construction; gap-split pieces need the explicit sort.)
-    order = jnp.argsort(lo, axis=1)
-    lo = jnp.take_along_axis(lo, order, axis=1)
-    hi = jnp.take_along_axis(hi, order, axis=1)
-    strip_of = jnp.take_along_axis(strip_of, order, axis=1)
-
-    parts_lo, parts_len = [], []
-    rh = None
-    for i in range(NIV):
-        l, h_ = lo[:, i], hi[:, i]
-        al = l if rh is None else jnp.maximum(l, rh)
-        parts_lo.append(al)
-        parts_len.append(jnp.maximum(h_ - al, 0))
-        rh = h_ if rh is None else jnp.maximum(rh, h_)
-    ilo = jnp.stack(parts_lo, axis=1)       # (nsub, NIV)
-    ilen = jnp.stack(parts_len, axis=1)
+    ilo = jnp.maximum(lo, rh_prev)                           # (nsub, NIV)
+    ilen = jnp.maximum(hi - ilo, 0)
 
     # Private-chunk placement: each interval is copied as the 128-aligned
     # source chunks covering it, into that many PRIVATE destination chunks —
     # lane-phase-preserving copies, no rotates.  Covering chunks of adjacent
     # intervals can overlap (gap < 128 columns), which would duplicate true
-    # candidates; dedup with the same running-max chain on chunk indices.
+    # candidates; dedup with the same cummax chain on chunk indices.
     a = ilo // WCOL                                          # (nsub, NIV)
     bnd = jnp.where(ilen > 0, (ilo + ilen - 1) // WCOL + 1, a)
-    parts_a, parts_k = [], []
-    prev_end = None
-    for i in range(NIV):
-        ai, bi, li = a[:, i], bnd[:, i], ilen[:, i]
-        ai2 = ai if prev_end is None else jnp.maximum(ai, prev_end)
-        ki = jnp.where(li > 0, jnp.maximum(bi - ai2, 0), 0)
-        parts_a.append(ai2)
-        parts_k.append(ki)
-        pe = jnp.where(li > 0, bi, 0 if prev_end is None else prev_end)
-        prev_end = pe if prev_end is None else jnp.maximum(prev_end, pe)
-    srcc0_abs = jnp.stack(parts_a, axis=1)                   # (nsub, NIV)
-    k = jnp.stack(parts_k, axis=1)
-    base = jnp.take_along_axis(
-        jnp.repeat(sstart_al // WCOL, NSUB, axis=0), strip_of, axis=1
-    )                                                        # (nsub, NIV)
+    pe_prev = jnp.concatenate(
+        [
+            jnp.zeros((nsub, 1), bnd.dtype),
+            jax.lax.cummax(jnp.where(ilen > 0, bnd, 0), axis=1)[:, :-1],
+        ],
+        axis=1,
+    )
+    srcc0_abs = jnp.maximum(a, pe_prev)                      # (nsub, NIV)
+    k = jnp.where(ilen > 0, jnp.maximum(bnd - srcc0_abs, 0), 0)
+    # per-interval strip-start chunk: a 3-way select, not a gather
+    sb = jnp.repeat(sstart_al // WCOL, NSUB, axis=0)         # (nsub, 3)
+    base = jnp.where(
+        strip_of == 0, sb[:, 0:1], jnp.where(strip_of == 1, sb[:, 1:2], sb[:, 2:3])
+    )
     srcc0 = srcc0_abs - base                                 # strip-relative
 
     dstc0 = jnp.cumsum(k, axis=1) - k                        # (nsub, NIV)
@@ -262,20 +267,23 @@ def plan_compact(sorted_key, cell_table, grid: GridSpec, capacity: int,
     nchunk = jnp.minimum(nchunk, cmax_chunks)
     nchunkp = jnp.minimum(nchunkp, cmax_chunks)
 
-    # flat per-dst-chunk source map via scatter-max + cummax (O(NIV + J) per
-    # sub-block, vs the O(NIV*J) one-hot pick): owner interval of dst chunk j
-    # is the last non-empty interval with dstc0 <= j
+    # Flat per-dst-chunk source map via ONE packed scatter-max + cummax
+    # (O(NIV + J) per sub-block): owner of dst chunk j is the LAST non-empty
+    # interval with dstc0 <= j.  The payload packs (interval, strip, src-dst
+    # chunk delta) with the interval index in the high bits, so the max picks
+    # the last interval and the low bits decode directly — no take_alongs.
+    PB = 2048  # delta field width; |srcc0 - dstc0| < smax/128 + wcap/128 << 1024
     rows = jnp.arange(nsub, dtype=jnp.int32)[:, None]
     dst_idx = jnp.minimum(dstc0, cmax_chunks - 1)
     ival = jnp.broadcast_to(jnp.arange(NIV, dtype=jnp.int32)[None, :], k.shape)
+    payload = (ival * 4 + strip_of) * PB + (srcc0 - dstc0 + PB // 2)
     scat = jnp.full((nsub, cmax_chunks), -1, jnp.int32)
-    scat = scat.at[rows, dst_idx].max(jnp.where(k > 0, ival, -1))
-    i_of_j = jnp.maximum(jax.lax.cummax(scat, axis=1), 0)    # (nsub, J)
-    srcc0_j = jnp.take_along_axis(srcc0, i_of_j, axis=1)
-    dstc0_j = jnp.take_along_axis(dstc0, i_of_j, axis=1)
-    strip_j = jnp.take_along_axis(strip_of, i_of_j, axis=1)
+    scat = scat.at[rows, dst_idx].max(jnp.where(k > 0, payload, -1))
+    e = jnp.maximum(jax.lax.cummax(scat, axis=1), 0)         # (nsub, J)
+    strip_j = (e // PB) % 4
+    delta_j = e % PB - PB // 2
     j_idx = jnp.arange(cmax_chunks, dtype=jnp.int32)[None, :]
-    src_chunk = jnp.clip(srcc0_j + (j_idx - dstc0_j), 0, smax // WCOL - 1)
+    src_chunk = jnp.clip(delta_j + j_idx, 0, smax // WCOL - 1)
     chunkmeta = (strip_j * 8192 + src_chunk).astype(jnp.int32)  # (nsub, J)
 
     wins = dict(meta=chunkmeta, nchunk=nchunk, nchunkp=nchunkp, sstart=sstart_al)
@@ -339,24 +347,26 @@ def make_compact_call(plan: Plan2Spec, capacity: int, nf: int, interpret=False):
 
         blank = jnp.full((nf, WCOL), SENTINEL, jnp.float32)
         for t in range(NSUB):  # static
+            nck = nchunk[0, 0, t]
 
-            def copy_chunk(j, _):
-                m = meta[0, 0, t, j]
-                st = m // 8192
-                sc = pl.multiple_of((m - st * 8192) * WCOL, WCOL)
-                d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
-                out[:, pl.ds(d, WCOL)] = sbuf[slot, st, 0:nf, pl.ds(sc, WCOL)]
+            # UNROLL chunks per loop iteration (the per-iteration scalar
+            # overhead was the dominant cost of this kernel: ~40 ns/chunk
+            # measured round 2); chunks past nchunk read a clipped-but-valid
+            # src and are overwritten with SENTINEL columns branchlessly
+            # (rejected by the dense kernels' own r / cell-band tests)
+            def copy_group(g, _):
+                j0 = g * UNROLL
+                for u in range(UNROLL):
+                    j = j0 + u
+                    m = meta[0, 0, t, j]
+                    st = m // 8192
+                    sc = pl.multiple_of((m - st * 8192) * WCOL, WCOL)
+                    d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
+                    data = sbuf[slot, st, 0:nf, pl.ds(sc, WCOL)]
+                    out[:, pl.ds(d, WCOL)] = jnp.where(j < nck, data, blank)
                 return 0
 
-            def pad_chunk(j, _):
-                d = pl.multiple_of(t * wcap + j * WCOL, WCOL)
-                out[:, pl.ds(d, WCOL)] = blank
-                return 0
-
-            jax.lax.fori_loop(0, nchunk[0, 0, t], copy_chunk, 0)
-            # pad to the dense kernels' UNROLL granularity with SENTINEL
-            # columns (rejected by their own r / cell-band tests)
-            jax.lax.fori_loop(nchunk[0, 0, t], nchunkp[0, 0, t], pad_chunk, 0)
+            jax.lax.fori_loop(0, nchunkp[0, 0, t] // UNROLL, copy_group, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

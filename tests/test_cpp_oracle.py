@@ -55,3 +55,26 @@ def test_cpp_vs_numpy_mesh_and_scene(cpp_solver):
     assert tc > 0
     assert abs(tc - tn) <= max(3, 0.01 * tn)
     assert set(res_c.queries[0].neighbours.tolist()) == set(res_n.queries[0].neighbours.tolist())
+
+
+def test_cpp_fp64_vs_numpy_fp64():
+    """The fp64 native entry (`pbf_advance_f64`) matches the NumPy oracle in
+    fp64 — the reference OMP backend's --fp64 anchor
+    (`src/benchmark.cpp:159-165`; round-2 missing #2).  fp64-vs-fp64 runs
+    agree far tighter than the fp32 cross-oracle tolerance."""
+    from pbf_sph_tpu.models.cpp_solver import CppSolver
+    from pbf_sph_tpu.models.numpy_solver import NumpySolver
+
+    mc, cfg, particles = simple_config_with_2_cubes(1200, 2, 500.0)
+    cs = CppSolver(dtype="float64")
+    ns = NumpySolver(dtype="float64")
+    xs_c = xs_n = particles
+    for frame in range(2):
+        c = apply_motion_sin_x_cos_z(cfg, frame)
+        _, xs_c = cs.advance(c, Scene(), xs_c)
+        _, xs_n = ns.advance(c, Scene(), xs_n)
+    xs_c, xs_n = xs_c.order_by_id(), xs_n.order_by_id()
+    np.testing.assert_array_equal(xs_c.pid, xs_n.pid)
+    np.testing.assert_allclose(xs_c.position, xs_n.position, atol=1e-4, rtol=0)
+    np.testing.assert_allclose(xs_c.velocity, xs_n.velocity, atol=1e-4, rtol=0)
+    np.testing.assert_allclose(xs_c.colour, xs_n.colour, atol=1e-6, rtol=0)

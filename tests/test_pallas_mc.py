@@ -95,8 +95,8 @@ def test_mc_static_plan_padded_tail_fast():
     sp = pallas_mc._node_static_plan(mspec, grid)
     L, lpad = sp["L"], sp["lpad"]
     assert lpad > L  # this geometry must actually have a padded tail
-    nsub = lpad // pallas_mc.SUB
-    full_pad = np.arange(nsub) * pallas_mc.SUB >= L
+    nsub = lpad // pallas_mc.MC_SUB
+    full_pad = np.arange(nsub) * pallas_mc.MC_SUB >= L
     assert full_pad.any()
     ncells = grid.ncells
     # padded sub-blocks: lo at the end marker, hi before it => empty windows
