@@ -173,7 +173,8 @@ def plan_mc_windows(cell_table, static_plan, ncells: int, capacity: int,
     srow = jnp.take(sstart, jnp.asarray(strip_of, jnp.int32), axis=1)
     srow = jnp.stack([srow, jnp.zeros_like(srow)], axis=-1)[:, None, :, :]
     wins_ex = jnp.concatenate([wins, srow], axis=1)
-    return wins_ex, overflow
+    # flattened per-block scalar table (see pallas_pbf.plan_windows)
+    return wins_ex.reshape(wins_ex.shape[0], 1, -1), overflow
 
 
 def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,

@@ -133,7 +133,12 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
     srow = jnp.take(sstart, strip_of, axis=1)  # (nblocks, 9)
     srow = jnp.stack([srow, jnp.zeros_like(srow)], axis=-1)[:, None, :, :]
     wins_ex = jnp.concatenate([wins, srow], axis=1)  # (nblocks, NSUB+1, 9, 2)
-    return wins_ex, overflow
+    # FLATTENED per-block scalar table: SMEM windows pad every trailing dim,
+    # so a (1, nsub+1, 9, 2) block blows the SMEM budget at small sub-blocks
+    # (the MC node kernel's 129-row table measured 2MB padded); one flat
+    # trailing dim keeps it at true size (the middle singleton satisfies the
+    # Pallas trailing-dims block rule).  Layout: [t*18 + 2*s + {lo,hi}].
+    return wins_ex.reshape(wins_ex.shape[0], 1, -1), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +148,7 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
 
 def _issue_strip_dmas(p_hbm, sbuf, sems, slot, wins_ref, smax, nsub_b=NSUB):
     for s in range(3):
-        start = pl.multiple_of(wins_ref[0, nsub_b, 3 * s, 0], WCOL)
+        start = pl.multiple_of(wins_ref[0, 0, nsub_b * 18 + 6 * s], WCOL)
         pltpu.make_async_copy(
             p_hbm.at[:, pl.ds(start, smax)],
             sbuf.at[slot, s],
@@ -198,10 +203,10 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((1, nsub_b + 1, 9, 2), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, (nsub_b + 1) * 18), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nsub_b + 1, 9, 2),
-                         lambda b: (jnp.minimum(b + 1, nblocks - 1), 0, 0, 0),
+            pl.BlockSpec((1, 1, (nsub_b + 1) * 18),
+                         lambda b: (jnp.minimum(b + 1, nblocks - 1), 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((rows_nfields, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -227,8 +232,8 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
 def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry):
     """Run compute_chunk over 128-aligned chunks covering window (t, s)."""
-    lo = wins[0, t, s, 0]
-    hi = wins[0, t, s, 1]
+    lo = wins[0, 0, t * 18 + 2 * s]
+    hi = wins[0, 0, t * 18 + 2 * s + 1]
     c0 = lo // WCOL
     nchunk = jnp.where(hi > lo, pl.cdiv(hi - c0 * WCOL, WCOL), 0)
     strip = s // 3
