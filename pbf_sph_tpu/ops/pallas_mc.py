@@ -38,7 +38,6 @@ from pbf_sph_tpu.ops.pallas_pbf import (
     STRIP_DXDY,
     WCOL,
     PallasPlanSpec,
-    _col_mask,
     _phase_pallas,
     _window_loop,
 )
@@ -193,15 +192,17 @@ def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
     the caller)."""
     nx, ny, nz = grid.dims
     offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
-    threshold = np.float32(h * scale)
+    th2 = np.float32(h * scale) * np.float32(h * scale)
     pinfl = float(particle_influence)
 
-    def powinfl(d):
+    def winfl(d2):
+        # 1/len^infl = d2^(-infl/2) in r2-space (round-3 restructure,
+        # replacing the sqrt(sqrt) + divide chain)
         if pinfl == 0.5:
-            return jnp.sqrt(d)
+            return jnp.sqrt(jax.lax.rsqrt(d2))
         if pinfl == 1.0:
-            return d
-        return jnp.exp(np.float32(pinfl) * jnp.log(d))
+            return jax.lax.rsqrt(d2)
+        return jnp.exp(np.float32(-0.5 * pinfl) * jnp.log(d2))
 
     def body(wins, rows, sbuf, slot, out, t):
         ax = rows[0, pl.ds(t * sub, sub)].reshape(sub, 1)
@@ -216,17 +217,18 @@ def make_mc_field_call(plan: PallasPlanSpec, capacity: int, lpad: int,
                 by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bcl = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = _col_mask(o, lo, hi)
-                m = m & (jnp.abs(bcl - (acl + off_s)) <= 1.0)
+                # cl-adjacency doubles as the lane-coverage mask (windows come
+                # straight from cell_table so out-of-window lanes fail it; the
+                # z/y-wrap aliases it admits are > h*scale away and fail the
+                # distance test — same argument as the particle phases)
+                m = jnp.abs(bcl - (acl + off_s)) <= 1.0
                 lx = bx - ax
                 ly = by - ay
                 lz = bz - az
                 d2 = lx * lx + ly * ly + lz * lz
-                dist = jnp.sqrt(d2)
-                m = m & (dist < threshold)
-                denom = powinfl(dist)
-                m = m & (denom > 0)  # skip zero-distance (see ops/mc.py note)
-                w = jnp.where(m, 1.0 / denom, 0.0)
+                # d2 > 0 skips zero-distance (see ops/mc.py note)
+                m = m & (d2 < th2) & (d2 > 0)
+                w = jnp.where(m, winfl(d2), 0.0)
                 mf = m.astype(jnp.float32)
                 return (
                     s0 + w, sx + lx * w, sy + ly * w, sz + lz * w,

@@ -230,24 +230,40 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
     return call
 
 
-def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry):
-    """Run compute_chunk over 128-aligned chunks covering window (t, s)."""
+def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry,
+                 uncond_smax: int = 0):
+    """Run compute_chunk over 128-aligned chunks covering window (t, s).
+
+    uncond_smax > 0 (particle phases): the first chunk runs UNCONDITIONALLY
+    as straight-line code — the settled state has 1-2 chunks per window, so
+    the dynamic fori mostly degenerates to empty and the hot path is fully
+    unrolled.  Correct because the cl-adjacency test is the coverage mask: an
+    empty/foreign chunk contributes exactly 0 (no particle holds a cell
+    inside an empty window).  The offset is clamped to uncond_smax-WCOL so an
+    empty clipped window cannot read out of strip bounds.  The MC node kernel
+    keeps the guarded loop (lattice nodes over vacuum have all-empty windows
+    and would pay 9 wasted chunks)."""
     lo = wins[0, 0, t * 18 + 2 * s]
     hi = wins[0, 0, t * 18 + 2 * s + 1]
     c0 = lo // WCOL
     nchunk = jnp.where(hi > lo, pl.cdiv(hi - c0 * WCOL, WCOL), 0)
     strip = s // 3
 
+    if uncond_smax:
+        def chunk_body(wi, carry):
+            o = pl.multiple_of(
+                jnp.minimum((c0 + wi) * WCOL, uncond_smax - WCOL), WCOL
+            )
+            return compute_chunk(slot, strip, o, lo, hi, carry)
+
+        carry = chunk_body(0, carry)
+        return jax.lax.fori_loop(1, nchunk, chunk_body, carry)
+
     def chunk_body(wi, carry):
         o = pl.multiple_of((c0 + wi) * WCOL, WCOL)
         return compute_chunk(slot, strip, o, lo, hi, carry)
 
     return jax.lax.fori_loop(0, nchunk, chunk_body, carry)
-
-
-def _col_mask(o, lo, hi):
-    g = o + jax.lax.broadcasted_iota(jnp.int32, (1, WCOL), 1)
-    return (g >= lo) & (g < hi)
 
 
 # ---------------------------------------------------------------------------
@@ -269,13 +285,25 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
     given candidate cell (no double counting); z/y-wrapped aliases the linear
     test admits are > h away and self-masked by the kernel functions.
 
+    The cl-adjacency test doubles as the lane-coverage mask (round-3): any
+    lane outside the window [lo, hi) holds a particle from a cell outside
+    [cmin-1, cmax+1]+off (windows come straight from cell_table and members
+    are cell-sorted), and non-member lanes carry a blanked cl (the caller
+    packs 3e9), so both fail |bcl - (acl+off)| <= 1 and the explicit per-
+    chunk column mask is dropped.  Pair math is the r2-space/rsqrt
+    restructure validated by the v2 kernels (pallas_pbf2.py docstring):
+    (h-r)^2/r = relu(h - r2*u)^2 * u with u = rsqrt(max(r2, EPS^2)); the
+    self pair contributes 0 to gradients via dx=dy=dz=0, and r <= h needs no
+    test (relu).  Measured on v5e at 1M (tools/micro_dense.py): lambda
+    39.4 -> ~30 ms/iteration.
+
     Accumulation stays in (SUB, WCOL) tiles across all strips/chunks and is
     reduced once per sub-block (cross-lane reductions are ~7 shuffle ops)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
     hf = np.float32(h)
-    eps = np.float32(K.EPSILON)
+    eps2 = np.float32(K.EPSILON) * np.float32(K.EPSILON)
     nx, ny, nz = grid.dims
     offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
 
@@ -292,17 +320,17 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
                 by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bcl = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = _col_mask(o, lo, hi)
-                m = m & (jnp.abs(bcl - (acl + off_s)) <= 1.0)
+                m = jnp.abs(bcl - (acl + off_s)) <= 1.0
                 dx = ax - bx
                 dy = ay - by
                 dz = az - bz
                 r2 = dx * dx + dy * dy + dz * dz
-                p6 = jnp.where(m & (r2 <= hh), (hh - r2) ** 3, 0.0)
-                r = jnp.sqrt(r2)
-                ok = m & (r >= eps) & (r <= hf)
-                rs = jnp.where(ok, r, 1.0)
-                sg = jnp.where(ok, (hf - rs) ** 2 / rs, 0.0)
+                d2p = jnp.maximum(hh - r2, 0.0)
+                p6 = jnp.where(m, d2p * d2p * d2p, 0.0)
+                r2c = jnp.maximum(r2, eps2)
+                u = jax.lax.rsqrt(r2c)
+                tt = jnp.maximum(hf - r2c * u, 0.0)
+                sg = jnp.where(m, tt * tt * u, 0.0)
                 return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
 
             return chunk
@@ -310,7 +338,8 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
         zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero, zero)
         for s in range(9):
-            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]), carry)
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]),
+                                 carry, uncond_smax=plan.smax)
         p6s = jnp.sum(carry[0], axis=1, keepdims=True)
         gx = jnp.sum(carry[1], axis=1, keepdims=True)
         gy = jnp.sum(carry[2], axis=1, keepdims=True)
@@ -346,9 +375,10 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
     hf = np.float32(h)
-    eps = np.float32(K.EPSILON)
+    eps2 = np.float32(K.EPSILON) * np.float32(K.EPSILON)
     cdq = np.float32(K.CORR_DELTA_Q * h)
     p6dq = np.float32(poly6_factor(h)) * (hh - cdq * cdq) ** 3
+    xqf = np.float32(p6f / p6dq)
     corr_k = np.float32(-K.CORR_K)
     rr = np.float32(K.RHO_RECIP)
     nx, ny, nz = grid.dims
@@ -369,21 +399,20 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
                 bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
                 blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bcl = sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = _col_mask(o, lo, hi)
-                m = m & (jnp.abs(bcl - (acl + off_s)) <= 1.0)
+                m = jnp.abs(bcl - (acl + off_s)) <= 1.0
                 dx = ax - bx
                 dy = ay - by
                 dz = az - bz
                 r2 = dx * dx + dy * dy + dz * dz
-                p6 = jnp.where(m & (r2 <= hh), p6f * (hh - r2) ** 3, 0.0)
-                xq = p6 * (1.0 / p6dq)
+                d2p = jnp.maximum(hh - r2, 0.0)
+                xq = d2p * d2p * d2p * xqf
                 x2 = xq * xq
                 corr = corr_k * x2 * x2
                 factor = (alam + blam + corr) * rr
-                r = jnp.sqrt(r2)
-                ok = m & (r >= eps) & (r <= hf)
-                rs = jnp.where(ok, r, 1.0)
-                sg = jnp.where(ok, skf * (hf - rs) ** 2 / rs, 0.0) * factor
+                r2c = jnp.maximum(r2, eps2)
+                u = jax.lax.rsqrt(r2c)
+                tt = jnp.maximum(hf - r2c * u, 0.0)
+                sg = jnp.where(m, skf * tt * tt * u, 0.0) * factor
                 return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
 
             return chunk
@@ -391,7 +420,8 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
         zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero)
         for s in range(9):
-            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]), carry)
+            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]),
+                                 carry, uncond_smax=plan.smax)
         memberf = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         dxs = jnp.sum(carry[0], axis=1, keepdims=True) * memberf
         dys = jnp.sum(carry[1], axis=1, keepdims=True) * memberf
@@ -442,13 +472,15 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
                 bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
                 bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = _col_mask(o, lo, hi)
+                # the exact per-axis adjacency test is also the coverage mask
+                # (self-deduping: at most one (dx,dy) window matches a pair's
+                # true offset; non-member lanes have bfx blanked to -1e9)
                 adj = (
                     (bfx == afx + dx_s)
                     & (bfy == afy + dy_s)
                     & (jnp.abs(bfz - afz) <= 1.0)
                 )
-                w = jnp.where(m & adj & (nb > 0.5), 1.0, 0.0)
+                w = jnp.where(adj & (nb > 0.5), 1.0, 0.0)
                 return (
                     sr + jnp.sum(cr * w, axis=1, keepdims=True),
                     sg_ + jnp.sum(cg * w, axis=1, keepdims=True),
@@ -457,7 +489,8 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
                     cnt + jnp.sum(w, axis=1, keepdims=True),
                 )
 
-            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry)
+            carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry,
+                                 uncond_smax=plan.smax)
         sr, sg_, sb_, sa, cnt = carry
         out[0, pl.ds(t * SUB, SUB)] = sr.reshape(SUB)
         out[1, pl.ds(t * SUB, SUB)] = sg_.reshape(SUB)
@@ -504,7 +537,9 @@ class PallasPhases:
 
     def lambda_phase(self, wins, pstar, mass, memberf, ptype, alive, cells):
         f = pstar.dtype
-        cl = self._linear_id(cells).astype(f)
+        # non-member lanes must fail the cl-adjacency test (it is the only
+        # candidate mask since round 3) — blank their cell id
+        cl = jnp.where(memberf > 0, self._linear_id(cells).astype(f), 3e9)
         z = jnp.zeros_like(mass)
         packed = jnp.stack([pstar[0], pstar[1], pstar[2], cl, mass, memberf, z, z])
         lam = self._lambda(wins, packed)[0]
@@ -515,7 +550,7 @@ class PallasPhases:
     def delta_phase(self, wins, pstar, lam, memberf, ptype, alive,
                     scale, min_bound, max_bound, cells):
         f = pstar.dtype
-        cl = self._linear_id(cells).astype(f)
+        cl = jnp.where(memberf > 0, self._linear_id(cells).astype(f), 3e9)
         z = jnp.zeros_like(lam)
         packed = jnp.stack([pstar[0], pstar[1], pstar[2], lam, cl, memberf, z, z])
         dp = self._delta(wins, packed)

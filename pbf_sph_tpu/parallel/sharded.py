@@ -54,7 +54,7 @@ class ShardSpec:
     cap_local: int        # owned-particle capacity per device
     ghost_cap: int        # ghost slots per side
     migrate_cap: int      # migration slots per direction per step
-    slab_w: int           # owned cells per device along x
+    slab_w: int           # owned cells per device along x (fixed mode / max)
     grid_global: GridSpec
     h: float
     scale: float
@@ -74,16 +74,82 @@ class ShardSpec:
     min_bound_x: float = 0.0
     # LOCAL marching-cubes spec (slab_w*res+1 node columns); None = no surface
     surface: object = None
+    # Dynamic slab rebalancing (SURVEY hard part #4): slab boundaries are a
+    # (n_dev+1,) x-column array re-partitioned from the global particle
+    # x-CDF every frame, instead of fixed slab_w-wide slabs (which measured a
+    # 0.682 peak-slab fraction — 5.46x uniform — under the sloshing
+    # benchmark motion, tools/load_balance.py).  Boundary movement is
+    # clamped to rebalance_step columns/frame and slabs keep >= min_slab_w
+    # columns, which preserves the one-slab-hop migration invariant.
+    # Incompatible with `surface` (the slab-local MC node partition is
+    # static).
+    rebalance: bool = False
+    # max boundary movement per frame: 1 column keeps the worst-case single-
+    # frame ownership change to one column's population (a 2-column move of
+    # a dense band measured a sender-side migration burst above cap_local)
+    rebalance_step: int = 1
+    min_slab_w: int = 3       # minimum slab width (columns)
+    # maximum slab width (columns, rebalance mode).  Bounds the static local
+    # grid (and the per-device cell table) to (cap+1) columns instead of the
+    # worst case gx - (n_dev-1)*min_slab_w; equal-count slabs sit near
+    # gx/n_dev wide, so 0 = default 3x uniform width (clamped feasible).
+    max_slab_cap: int = 0
 
     @property
     def grid_local(self) -> GridSpec:
         gx, gy, gz = self.grid_global.dims
-        # local grid: slab_w owned columns + one ghost column each side
+        # local grid: slab columns + one ghost column each side.  Under
+        # rebalancing a slab can grow up to the whole domain minus the other
+        # devices' minimum widths, so the static local grid is sized for that
+        # maximum; the dense cell table is O(ncells) ints — cheap.
+        w = self.max_slab_w
         return GridSpec(
-            extent=(self.slab_w + 1, gy - 1, gz - 1),
+            extent=(w + 1, gy - 1, gz - 1),
             maxz=self.grid_global.maxz,
             quirks=False,
         )
+
+    @property
+    def max_slab_w(self) -> int:
+        if not self.rebalance:
+            return self.slab_w
+        gx = self.grid_global.dims[0]
+        cap = self.max_slab_cap or -(-3 * gx // self.n_dev)
+        cap = max(cap, self.min_slab_w, -(-gx // self.n_dev))
+        return min(cap, gx - (self.n_dev - 1) * self.min_slab_w)
+
+    def uniform_bounds(self) -> np.ndarray:
+        """Fixed-mode slab boundaries: [0, slab_w, 2*slab_w, ..., gx]."""
+        gx = self.grid_global.dims[0]
+        b = np.minimum(np.arange(self.n_dev + 1) * self.slab_w, gx)
+        b[-1] = gx
+        return b.astype(np.int32)
+
+    def initial_bounds(self, soa) -> np.ndarray:
+        """Equal-count boundaries from a host-side particle histogram (the
+        rebalance criterion applied to the initial state)."""
+        if not self.rebalance:
+            return self.uniform_bounds()
+        gx = self.grid_global.dims[0]
+        scale = np.float32(self.scale)
+        h = np.float32(self.h)
+        min_ext_x = np.float32(self.min_bound_x) / scale - h * 2
+        gcx = np.trunc(
+            (soa.position[:, 0].astype(np.float32) / scale - min_ext_x) / h
+        ).astype(np.int64)
+        hist = np.bincount(np.clip(gcx, 0, gx - 1), minlength=gx)
+        cdf = np.cumsum(hist)
+        total = int(cdf[-1])
+        mw, xw = self.min_slab_w, self.max_slab_w
+        b = [0]
+        for d in range(1, self.n_dev):
+            target = total * d / self.n_dev
+            v = int(np.searchsorted(cdf, target, side="left")) + 1
+            v = min(max(v, b[-1] + mw, gx - xw * (self.n_dev - d)),
+                    gx - mw * (self.n_dev - d), b[-1] + xw)
+            b.append(v)
+        b.append(gx)
+        return np.asarray(b, np.int32)
 
     @property
     def cap_total(self) -> int:
@@ -93,22 +159,54 @@ class ShardSpec:
     def create(config, n_dev: int, count: int, h: float,
                cell_capacity: int = 48, dtype: str = "float32",
                cap_local: int = 0, scene: Scene = None,
-               use_pallas: bool = False, pallas_v2: bool = False) -> "ShardSpec":
+               use_pallas: bool = False, pallas_v2: bool = False,
+               rebalance: bool = False, ghost_cap: int = 0,
+               min_slab_w: int = 3) -> "ShardSpec":
         grid = GridSpec.from_bounds(config.min_bound, config.max_bound, config.scale, h)
         gx = grid.dims[0]
         slab_w = -(-gx // n_dev)
         sspec = scene_spec_of(scene or Scene(), config)
+        if rebalance and config.surface is not None:
+            raise ValueError("rebalance=True is incompatible with a surface "
+                             "(the slab-local MC node partition is static)")
+        if rebalance and gx < n_dev * min_slab_w:
+            raise ValueError(
+                f"rebalance: grid has {gx} x-columns but {n_dev} slabs of "
+                f">= {min_slab_w} columns need {n_dev * min_slab_w} — use "
+                f"fewer devices, a finer grid (smaller scale), or a smaller "
+                f"min_slab_w"
+            )
+        if cap_local <= 0 and rebalance:
+            # equal-count boundaries keep every slab near count/n_dev; 2.5x
+            # headroom absorbs the residual imbalance between rebalances
+            # (zero-drop validated over 200 sloshing frames in
+            # tests/test_sharded.py::test_rebalance_sloshing)
+            per = (count + sspec.total_spawn) / n_dev
+            cap_local = max(256, -(-int(per * 2.5) // 128) * 128)
         if cap_local <= 0:
-            # whole-set default, now data-justified (tools/load_balance.py,
-            # 200 frames of the sloshing benchmark at 256k/8 slabs): the peak
-            # slab holds 68% of ALL particles in steady state (5.46x uniform)
-            # and the INITIAL dam column can sit entirely inside one slab, so
-            # a fraction-of-count cap saves <32% at real risk.  Balanced
-            # decompositions can pass an explicit cap_local.
+            # fixed slabs: whole-set default, data-justified
+            # (tools/load_balance.py, 200 frames of the sloshing benchmark at
+            # 256k/8 slabs): the peak slab holds 68% of ALL particles in
+            # steady state (5.46x uniform) and the INITIAL dam column can sit
+            # entirely inside one slab, so a fraction-of-count cap saves <32%
+            # at real risk.  Balanced decompositions can pass an explicit
+            # cap_local, and rebalance=True sizes it from the equal-count
+            # partition instead.
             cap_local = max(256, -(-int(count + sspec.total_spawn) // 128) * 128)
         gy, gz = grid.dims[1], grid.dims[2]
-        ghost_cap = max(128, -(-(gy * gz * 8) // 128) * 128)
+        if ghost_cap <= 0:
+            # worst-case default: 8 particles per boundary-column cell.  Real
+            # boundary columns hold far less; callers that know the workload
+            # can pass a tighter ghost_cap (overflow is counted in
+            # ghost_dropped either way)
+            ghost_cap = max(128, -(-(gy * gz * 8) // 128) * 128)
         ghost_cap = min(ghost_cap, cap_local)
+        # under rebalancing a boundary move hands a whole column (plus the
+        # usual drift) to a neighbour in one frame; size the migration
+        # buffers generously (they are transient ppermute payloads)
+        migrate_cap = cap_local if rebalance else min(
+            cap_local, max(128, ghost_cap)
+        )
         if use_pallas:
             # the Pallas pipeline blocks the local array into 1024-row blocks
             from pbf_sph_tpu.ops.pallas_pbf2 import BLK
@@ -137,7 +235,7 @@ class ShardSpec:
             n_dev=n_dev,
             cap_local=cap_local,
             ghost_cap=ghost_cap,
-            migrate_cap=min(cap_local, max(128, ghost_cap)),
+            migrate_cap=migrate_cap,
             slab_w=slab_w,
             grid_global=grid,
             h=h,
@@ -150,6 +248,8 @@ class ShardSpec:
             pallas_v2=pallas_v2,
             min_bound_x=float(np.asarray(config.min_bound, np.float32)[0]),
             surface=surface,
+            rebalance=rebalance,
+            min_slab_w=min_slab_w,
         )
 
 
@@ -158,8 +258,15 @@ def _perm(n: int, shift: int):
     return [(d, d + shift) for d in range(n) if 0 <= d + shift < n]
 
 
-def _sharded_queries(spec: ShardSpec, scn, me, pid, ptype, alive, cells_l,
-                     cell_table, min_extent, dtype):
+def _owner_of_col(bounds, gcx, n_dev):
+    """Owning device of global x-column gcx under slab boundaries `bounds`
+    ((n_dev+1,) ascending, bounds[0]=0, bounds[-1]=gx)."""
+    o = jnp.searchsorted(bounds, gcx, side="right").astype(jnp.int32) - 1
+    return jnp.clip(o, 0, n_dev - 1)
+
+
+def _sharded_queries(spec: ShardSpec, scn, me, b_me, bounds, pid, ptype, alive,
+                     cells_l, cell_table, min_extent, dtype):
     """Point queries over the owning device's centre cell (reference
     `src/omp/ompsph.hpp:167-186` incl. the Morton-guard quirk), merged across
     the mesh.  Returns replicated (n_queries, qcap) ids and (n_queries,)
@@ -187,9 +294,9 @@ def _sharded_queries(spec: ShardSpec, scn, me, pid, ptype, alive, cells_l,
         # reference Morton-table guard (single-chip `_queries` parity)
         zq = morton_encode3(safe[0], safe[1], safe[2])
         ok = in_range & (zq < gmaxz) & (zq + 1 < gmaxz)
-        owner = jnp.clip(safe[0] // spec.slab_w, 0, D - 1)
+        owner = _owner_of_col(bounds, safe[0], D)
         mine = ok & (owner == me)
-        lx = safe[0] - owner * spec.slab_w + 1       # owned local columns 1..slab_w
+        lx = safe[0] - b_me + 1                      # owned local columns 1..w_me
         lin = jnp.where(mine, (lx * lny + safe[1]) * lnz + safe[2], 0)
         start = jnp.where(mine, cell_table[lin], 0)
         end = jnp.where(mine, cell_table[lin + 1], 0)
@@ -241,8 +348,11 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     )
     phases, phases2, _mc = make_phase_objects(local_spec, spec.use_pallas)
 
-    def local_step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
+    def local_step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any],
+                   bounds):
         me = jax.lax.axis_index(AXIS)
+        b_me = bounds[me]
+        w_me = bounds[me + 1] - b_me
         h = spec.h
         scale = jnp.asarray(spec.scale, dtype)
         dt = dyn["dt"].astype(dtype)
@@ -262,7 +372,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
                     -2e9, 2e9,
                 )
             ).astype(jnp.int32)
-            return jnp.clip(gcx // spec.slab_w, 0, D - 1)
+            return _owner_of_col(bounds, gcx, D)
 
         # 0a. sources: only the device owning the spawn x-cell spawns
         state, src_dropped = _apply_sources(
@@ -284,8 +394,11 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         gcx = jnp.trunc(
             jnp.clip((pstar[0] - min_extent[0]) / jnp.asarray(h, dtype), -2e9, 2e9)
         ).astype(jnp.int32)
-        owner = jnp.clip(gcx // spec.slab_w, 0, D - 1)
-        owner = jnp.clip(owner, me - 1, me + 1)  # one-slab hop per step
+        owner = _owner_of_col(bounds, gcx, D)
+        # one-slab hop per step (held by rebalance_step + min_slab_w under
+        # rebalancing: boundaries move <= rebalance_step columns/frame and
+        # slabs stay >= min_slab_w wide)
+        owner = jnp.clip(owner, me - 1, me + 1)
         go_left = state.alive & (owner < me)
         go_right = state.alive & (owner > me)
 
@@ -301,11 +414,18 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             idx, valid = _compact_first(flag, cap)
             buf = {k: jnp.where(valid, v[idx], 0) for k, v in fields.items()}
             buf["valid"] = valid
-            return buf
+            sent = jnp.zeros((CT,), bool).at[idx].set(valid)
+            return buf, sent
 
-        send_l = pack(go_left, M)
-        send_r = pack(go_right, M)
-        alive = state.alive & (owner == me)
+        send_l, sent_l = pack(go_left, M)
+        send_r, sent_r = pack(go_right, M)
+        # emigrants beyond the send capacity are RETAINED (alive, deferred to
+        # the next frame) instead of silently vanishing; they sit outside the
+        # local grid for one frame (sort_key marks them non-member, so they
+        # skip interactions) and are counted in migrate_deferred
+        unsent = (go_left & ~sent_l) | (go_right & ~sent_r)
+        migrate_deferred = jnp.sum(unsent).astype(jnp.int32)
+        alive = state.alive & ((owner == me) | unsent)
 
         recv_from_r = jax.tree.map(
             lambda x: jax.lax.ppermute(x, AXIS, _perm(D, -1)), send_l
@@ -351,9 +471,9 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         gcx = jnp.trunc(
             jnp.clip((pstar[0] - min_extent[0]) / jnp.asarray(h, dtype), -2e9, 2e9)
         ).astype(jnp.int32)
-        lcx = gcx - me * spec.slab_w  # owned columns are [0, slab_w)
+        lcx = gcx - b_me  # owned columns are [0, w_me)
         bl = alive & (lcx == 0)
-        br = alive & (lcx == spec.slab_w - 1)
+        br = alive & (lcx == w_me - 1)
         idx_bl, val_bl = _compact_first(bl, H)
         idx_br, val_br = _compact_first(br, H)
 
@@ -405,7 +525,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         from pbf_sph_tpu.ops.grid import cell_coords, sort_key
 
         cells_g = cell_coords(pstar, min_extent, h)
-        cells_l = (cells_g[0] - me * spec.slab_w + 1, cells_g[1], cells_g[2])
+        cells_l = (cells_g[0] - b_me + 1, cells_g[1], cells_g[2])
         key = sort_key(cells_l, alive, lgrid)
         order = jnp.argsort(key, stable=True)
         inv = jnp.zeros_like(order).at[order].set(jnp.arange(CT, dtype=order.dtype))
@@ -430,7 +550,8 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         # are merged across the mesh with a psum (id+1 protocol: non-owners
         # contribute 0, empty slots decode back to -1)
         q_ids, q_counts, q_overflow = _sharded_queries(
-            spec, scn, me, pid, ptype, alive, cells_l, cell_table, min_extent, dtype
+            spec, scn, me, b_me, bounds, pid, ptype, alive, cells_l, cell_table,
+            min_extent, dtype,
         )
 
         # 5-6. diffuse + constraint solve — the single-chip phase pipeline
@@ -493,6 +614,53 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         ghost_mask = jnp.zeros((CT,), bool).at[CL:].set(True)[order]
         alive = alive & ~ghost_mask
 
+        # compact alive rows to the front: the cell sort above can strand
+        # owned particles in the tail region [CL:), which the next step
+        # reserves for ghosts (start-of-step kill + install overwrite) — an
+        # uncounted particle-loss path whenever owned + ghosts > CL (hit by
+        # the rebalance sloshing test's fractional cap_local)
+        order2 = jnp.argsort(~alive, stable=True)
+        pid, ptype, mass, alive = (
+            pid[order2], ptype[order2], mass[order2], alive[order2]
+        )
+        new_pos = new_pos[:, order2]
+        new_vel = new_vel[:, order2]
+        colour = colour[:, order2]
+
+        # 8. slab rebalancing: re-partition the boundaries from the global
+        # particle x-CDF (one (gx,) psum per frame).  Movement is clamped to
+        # rebalance_step columns and widths to >= min_slab_w, so ownership
+        # changes stay within the one-slab-hop migration budget.
+        if spec.rebalance:
+            gxn = spec.grid_global.dims[0]
+            gcx_fin = jnp.trunc(
+                jnp.clip((new_pos[0] / scale - min_extent[0]) / jnp.asarray(h, dtype),
+                         -2e9, 2e9)
+            ).astype(jnp.int32)
+            histl = jnp.zeros((gxn,), jnp.int32).at[
+                jnp.clip(gcx_fin, 0, gxn - 1)
+            ].add(alive.astype(jnp.int32))
+            cdf = jnp.cumsum(jax.lax.psum(histl, AXIS))
+            total = cdf[-1]
+            S = spec.rebalance_step
+            MW = spec.min_slab_w
+            XW = spec.max_slab_w
+            bs = [jnp.asarray(0, jnp.int32)]
+            for d in range(1, D):
+                target = (total * d) // D
+                raw = jnp.searchsorted(cdf, target, side="left").astype(jnp.int32) + 1
+                v = jnp.clip(raw, bounds[d] - S, bounds[d] + S)
+                # width bounds: [MW, XW] for this slab, feasibility for the
+                # rest (these clips induce moves <= S given the previous
+                # bounds satisfied the same width constraints)
+                v = jnp.clip(v, jnp.maximum(bs[-1] + MW, gxn - XW * (D - d)),
+                             jnp.minimum(gxn - MW * (D - d), bs[-1] + XW))
+                bs.append(v)
+            bs.append(jnp.asarray(gxn, jnp.int32))
+            new_bounds = jnp.stack(bs)
+        else:
+            new_bounds = bounds
+
         new_state = FluidState(
             pid=pid, ptype=ptype, mass=mass,
             position=new_pos, velocity=new_vel, colour=colour, alive=alive,
@@ -504,6 +672,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         stats = dict(
             alive_count=jnp.sum(alive).astype(jnp.int32)[None],
             migrate_dropped=(drop_l + drop_r).astype(jnp.int32)[None],
+            migrate_deferred=migrate_deferred[None],
             ghost_dropped=(
                 jnp.maximum(jnp.sum(bl) - H, 0) + jnp.maximum(jnp.sum(br) - H, 0)
             ).astype(jnp.int32)[None],
@@ -519,7 +688,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
                 mesh_vs=mesh_out[0], mesh_ns=mesh_out[1], mesh_cs=mesh_out[2],
                 tri_count=mesh_out[3][None],
             )
-        return new_state, stats
+        return new_state, stats, new_bounds
 
     state_specs = FluidState(
         pid=P(AXIS), ptype=P(AXIS), mass=P(AXIS),
@@ -536,7 +705,8 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         q_point=P(), q_id=P(),
     )
     stats_specs = dict(
-        alive_count=P(AXIS), migrate_dropped=P(AXIS), ghost_dropped=P(AXIS),
+        alive_count=P(AXIS), migrate_dropped=P(AXIS), migrate_deferred=P(AXIS),
+        ghost_dropped=P(AXIS),
         spawn_dropped=P(AXIS), strip_overflow=P(AXIS), wcap_overflow=P(AXIS),
         query_overflow=P(AXIS), query_ids=P(), query_counts=P(),
     )
@@ -549,8 +719,8 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     fn = jax.jit(jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_specs, dyn_specs, scn_specs),
-        out_specs=(state_specs, stats_specs),
+        in_specs=(state_specs, dyn_specs, scn_specs, P()),
+        out_specs=(state_specs, stats_specs, P()),
         check_vma=False,
     ))
 
@@ -561,14 +731,47 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         spec.scene.n_wells or spec.scene.total_spawn or spec.scene.n_drains
         or spec.scene.n_queries
     )
+    uniform_b = spec.uniform_bounds()
 
-    def step(state, dyn, scn=None):
+    def step(state, dyn, scn=None, bounds=None):
+        """One sharded frame.  Fixed mode (spec.rebalance=False): bounds may
+        be omitted and the return is (state, stats).  Rebalance mode: pass
+        the current boundaries (start from spec.initial_bounds(soa)) and the
+        return is (state, stats, new_bounds) — thread new_bounds into the
+        next call."""
         if scn is None:
             assert not has_scene, "spec has scene objects; pass scn arrays"
             scn = empty_scn
-        return fn(state, dyn, scn)
+        if bounds is None:
+            assert not spec.rebalance, (
+                "rebalance mode: pass bounds (spec.initial_bounds(soa)) and "
+                "thread the returned new_bounds into the next step"
+            )
+            bounds = uniform_b
+        out_state, out_stats, out_bounds = fn(state, dyn, scn, bounds)
+        if spec.rebalance:
+            return out_state, out_stats, out_bounds
+        return out_state, out_stats
 
     return step
+
+
+def gather_mesh(stats, spec: ShardSpec):
+    """Assemble the global triangle soup from a sharded step's per-device
+    mesh segments (host-side): (vs, ns, cs) arrays of shape (3*T, 3|4)."""
+    counts = np.asarray(stats["tri_count"]).ravel()
+    cap3 = spec.surface.tri_capacity * 3
+    outs = []
+    for key_, w in (("mesh_vs", 3), ("mesh_ns", 3), ("mesh_cs", 4)):
+        g = np.asarray(stats[key_])          # (w, n_dev*cap3)
+        segs = [
+            g[:, d * cap3 : d * cap3 + 3 * int(tc)].T
+            for d, tc in enumerate(counts)
+        ]
+        outs.append(
+            np.concatenate(segs) if segs else np.zeros((0, w), g.dtype)
+        )
+    return outs[0], outs[1], outs[2]
 
 
 def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
@@ -590,18 +793,26 @@ def shard_state(state: FluidState, mesh: Mesh) -> FluidState:
     )
 
 
-def distribute_particles(soa, spec: ShardSpec, dtype=np.float32) -> FluidState:
+def distribute_particles(soa, spec: ShardSpec, dtype=np.float32,
+                         bounds=None) -> FluidState:
     """Assign particles to slabs by x-position and build the concatenated
-    per-device state (host-side)."""
+    per-device state (host-side).  `bounds` defaults to the fixed uniform
+    slabs; pass spec.initial_bounds(soa) for rebalance mode."""
     f = dtype
     scale = np.float32(spec.scale)
     h = np.float32(spec.h)
+    if bounds is None:
+        bounds = (spec.initial_bounds(soa) if spec.rebalance
+                  else spec.uniform_bounds())
     # owner by current position's global x-cell (pre-advect approximation;
     # migration fixes any edge case on the first step)
     states = []
     min_ext_x = np.float32(spec.min_bound_x) / scale - h * 2
     gcx = np.trunc((soa.position[:, 0].astype(f) / scale - min_ext_x) / h).astype(np.int64)
-    owner = np.clip(gcx // spec.slab_w, 0, spec.n_dev - 1)
+    owner = np.clip(
+        np.searchsorted(bounds, np.clip(gcx, 0, None), side="right") - 1,
+        0, spec.n_dev - 1,
+    )
     from pbf_sph_tpu.core.types import FluidState as FS, ParticleSoA
 
     for d in range(spec.n_dev):
