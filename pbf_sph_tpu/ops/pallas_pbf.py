@@ -14,11 +14,19 @@ cell sort (`ops/grid.py`):
     VMEM slices into those strips,
   * strips for block b+1 are DMA'd while block b computes (cross-block
     double buffering),
-  * pair validity needs no adjacency test for lambda/delta: any candidate
-    beyond +-1 cell is > h away, so poly6/spiky self-mask (the kernels are
-    exactly the reference math, `src/ocl/oclsph_kernel.h:95-162`); diffuse
-    (no distance cutoff in the reference, `src/ocl/oclsph_kernel.h:67-93`)
-    carries exact per-pair cell-coordinate adjacency masks.
+  * pair validity needs no per-pair adjacency test at all (round 3): the
+    plan emits CHUNK-DISJOINT windows (a coverage scan over the 9 stencil
+    windows in absolute chunk space), so every candidate is processed at
+    most once per sub-block, and geometry does the rest — any candidate
+    beyond +-1 cell is >= h away and poly6/spiky are exactly zero there
+    (the kernels are exactly the reference math,
+    `src/ocl/oclsph_kernel.h:95-162`); sentinel (non-member) lanes carry
+    blanked positions (1e9) so they fail the same distance cutoff; empty
+    windows point at a dedicated blanked chunk appended to each strip.
+    Diffuse (no distance cutoff in the reference,
+    `src/ocl/oclsph_kernel.h:67-93`) keeps an exact per-pair
+    cell-coordinate adjacency test, in the symmetric |d|<=1 form that is
+    valid under exactly-once processing.
 
 Fidelity note: unlike the XLA path, these kernels do not reproduce the
 reference's two boundary-cell quirks (the `offset >= gridTableN` Morton skip
@@ -74,13 +82,46 @@ def grown_strip_capacity(step_spec, overflow: int) -> int:
     return min(-(-need // 2048) * 2048 + 2048, step_spec.capacity)
 
 
+def disjoint_windows(lo, hi):
+    """Coverage scan making the stencil windows chunk-disjoint.
+
+    lo/hi are ABSOLUTE sorted-array offsets, shape (..., 9), with window
+    starts monotone non-decreasing in the last axis (the stencil offsets
+    strictly increase with s).  Each window's start is aligned down to a
+    WCOL chunk boundary and advanced past chunks already covered by an
+    earlier window; a window fully covered collapses to empty (hi == lo).
+    Since the kernels always process whole 128-lane chunks, this makes
+    every candidate LANE processed at most once per sub-block — across
+    strips too (the three strips are WCOL-aligned views of one array)."""
+    cover = jnp.zeros(lo.shape[:-1], jnp.int32)  # abs chunks covered so far
+    los, his = [], []
+    for s in range(9):
+        start_c = jnp.maximum(lo[..., s] // WCOL, cover)
+        end_c = jnp.maximum(-(-hi[..., s] // WCOL), start_c)
+        cover = end_c
+        lo_s = start_c * WCOL
+        los.append(lo_s)
+        his.append(jnp.maximum(hi[..., s], lo_s))
+    return jnp.stack(los, axis=-1), jnp.stack(his, axis=-1)
+
+
 def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: int):
     """Per-block strip starts + per-sub-block window bounds (XLA precompute,
     once per frame, shared by all phases).
 
     Returns (sstart (nblocks,3) int32, wins (nblocks,NSUB,9,2) int32, overflow).
     `wins[...,0/1]` are window [lo, hi) offsets *relative* to the dx-strip
-    start; `overflow` > 0 means smax must grow (re-specialize)."""
+    start; `overflow` > 0 means smax must grow (re-specialize).
+
+    Round 3: windows are emitted CHUNK-DISJOINT — a sequential coverage scan
+    over the 9 windows (whose absolute starts are monotone in s, since the
+    stencil offsets dx*ny*nz + dy*nz strictly increase) aligns each window's
+    start down to a WCOL chunk boundary and skips chunks already covered by
+    an earlier window.  Every candidate chunk is then processed by at most
+    one window, which is what lets the kernels drop the per-pair cl
+    adjacency test and mask purely by geometry (module docstring).  Windows
+    left empty by the scan (or genuinely empty) are pointed at the blanked
+    sentinel chunk at column `smax`."""
     C = capacity
     assert C % BLK == 0
     nblocks = C // BLK
@@ -119,6 +160,7 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
         his.append(cell_table[hi_cell])
     lo = jnp.stack(los, axis=1).reshape(nblocks, NSUB, 9)
     hi = jnp.stack(his, axis=1).reshape(nblocks, NSUB, 9)
+    lo, hi = disjoint_windows(lo, hi)
     strip_of = jnp.asarray([s // 3 for s in range(9)], jnp.int32)
     base = jnp.take(sstart, strip_of, axis=1)[:, None, :]  # (nblocks,1,9)
     rel_lo = lo - base
@@ -126,6 +168,12 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
     overflow = jnp.maximum(jnp.max(rel_hi) - smax, 0).astype(jnp.int32)
     rel_lo = jnp.clip(rel_lo, 0, smax)
     rel_hi = jnp.clip(rel_hi, 0, smax)
+    # empty windows (fully covered by an earlier one, or genuinely empty)
+    # point at the blanked sentinel chunk at column smax so the kernels'
+    # unconditional first chunk contributes exactly zero
+    empty = rel_hi <= rel_lo
+    rel_lo = jnp.where(empty, smax, rel_lo)
+    rel_hi = jnp.where(empty, smax, rel_hi)
     wins = jnp.stack([rel_lo, rel_hi], axis=-1).astype(jnp.int32)
     # fold the per-block strip starts into an extra wins row (row NSUB) so a
     # single SMEM-blocked input carries all per-block scalars (Mosaic requires
@@ -151,7 +199,7 @@ def _issue_strip_dmas(p_hbm, sbuf, sems, slot, wins_ref, smax, nsub_b=NSUB):
         start = pl.multiple_of(wins_ref[0, 0, nsub_b * 18 + 6 * s], WCOL)
         pltpu.make_async_copy(
             p_hbm.at[:, pl.ds(start, smax)],
-            sbuf.at[slot, s],
+            sbuf.at[slot, s, :, pl.ds(0, smax)],
             sems.at[slot, s],
         ).start()
 
@@ -160,7 +208,8 @@ def _wait_strip_dmas(p_hbm, sbuf, sems, slot, smax):
     for s in range(3):
         # reconstruct the copy descriptor for wait (src slice values irrelevant)
         pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot, s], sems.at[slot, s]
+            p_hbm.at[:, pl.ds(0, smax)], sbuf.at[slot, s, :, pl.ds(0, smax)],
+            sems.at[slot, s],
         ).wait()
 
 
@@ -170,7 +219,7 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
     body(wins_smem, rows_vmem, strips_vmem_slot, out_ref, t) -> None is the
     per-sub-block compute; everything else (strip DMA pipelining, window
-    bookkeeping) is shared.
+    bookkeeping, the blanked sentinel chunk at strip column smax) is shared.
 
     By default rows == the candidate array (particle phases).  Pass
     rows_capacity/rows_nfields for kernels whose rows are a different array
@@ -181,6 +230,7 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
     rows_capacity = rows_capacity or capacity
     rows_nfields = rows_nfields or nfields
     assert rows_capacity == nblocks * BLK
+    assert smax % WCOL == 0, "strip capacity must be 128-aligned"
 
     def kernel(wins, wins_nxt, p_any, rows, out, sbuf, sems):
         b = pl.program_id(0)
@@ -188,6 +238,14 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
         @pl.when(b == 0)
         def _():
+            # blanked sentinel chunk: empty windows point their unconditional
+            # first chunk here; 1e9 coordinates fail every distance/adjacency
+            # test, so the chunk contributes exactly zero
+            for sl in range(2):
+                for s in range(3):
+                    sbuf[sl, s, :, pl.ds(smax, WCOL)] = jnp.full(
+                        (nfields, WCOL), 1e9, jnp.float32
+                    )
             _issue_strip_dmas(p_any, sbuf, sems, 0, wins, smax, nsub_b)
 
         @pl.when(b + 1 < nblocks)
@@ -213,7 +271,7 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
         ],
         out_specs=pl.BlockSpec((nout, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, nfields, smax), jnp.float32),
+            pltpu.VMEM((2, 3, nfields, smax + WCOL), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -237,12 +295,11 @@ def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry,
     uncond_smax > 0 (particle phases): the first chunk runs UNCONDITIONALLY
     as straight-line code — the settled state has 1-2 chunks per window, so
     the dynamic fori mostly degenerates to empty and the hot path is fully
-    unrolled.  Correct because the cl-adjacency test is the coverage mask: an
-    empty/foreign chunk contributes exactly 0 (no particle holds a cell
-    inside an empty window).  The offset is clamped to uncond_smax-WCOL so an
-    empty clipped window cannot read out of strip bounds.  The MC node kernel
-    keeps the guarded loop (lattice nodes over vacuum have all-empty windows
-    and would pay 9 wasted chunks)."""
+    unrolled.  Correct because the plan's windows are chunk-disjoint and
+    empty windows point at the blanked sentinel chunk at column uncond_smax
+    (= smax), which contributes exactly zero under the geometric masks.  The
+    MC node kernel keeps the guarded loop (lattice nodes over vacuum have
+    all-empty windows and would pay 9 wasted chunks)."""
     lo = wins[0, 0, t * 18 + 2 * s]
     hi = wins[0, 0, t * 18 + 2 * s + 1]
     c0 = lo // WCOL
@@ -252,7 +309,7 @@ def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry,
     if uncond_smax:
         def chunk_body(wi, carry):
             o = pl.multiple_of(
-                jnp.minimum((c0 + wi) * WCOL, uncond_smax - WCOL), WCOL
+                jnp.minimum((c0 + wi) * WCOL, uncond_smax), WCOL
             )
             return compute_chunk(slot, strip, o, lo, hi, carry)
 
@@ -276,26 +333,22 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
     """rho_i = m_i sum poly6; lambda_i = -(rho/RHO-1)/(|gradC/RHO|^2 + CFM)
     (reference `src/ocl/oclsph_kernel.h:95-123`).
 
-    Packed fields (8, C): [psx, psy, psz, cl, mass, memberf, pad, pad] where
-    cl is the linear cell id as f32 (exact below 2^24 cells).
+    Candidate fields (4, C): [psx, psy, psz, pad], positions blanked to 1e9
+    for non-member lanes (the pad row keeps the strip's sublane dim aligned
+    to the Mosaic (4,128) f32 tiling — a 3-row slice fails to compile).
+    Row fields (5, C): [psx, psy, psz, mass, memberf].
 
-    Pair dedup: a sub-block's (dx,dy) windows can overlap when it spans
-    several y-rows, so pairs are masked by |cl_b - (cl_a + off_s)| <= 1.  The
-    per-strip offsets differ by >= nz >= 3, so at most one strip accepts a
-    given candidate cell (no double counting); z/y-wrapped aliases the linear
-    test admits are > h away and self-masked by the kernel functions.
-
-    The cl-adjacency test doubles as the lane-coverage mask (round-3): any
-    lane outside the window [lo, hi) holds a particle from a cell outside
-    [cmin-1, cmax+1]+off (windows come straight from cell_table and members
-    are cell-sorted), and non-member lanes carry a blanked cl (the caller
-    packs 3e9), so both fail |bcl - (acl+off)| <= 1 and the explicit per-
-    chunk column mask is dropped.  Pair math is the r2-space/rsqrt
+    PURE-GEOMETRY masking (round 3): the plan's chunk-disjoint windows
+    guarantee every candidate lane is processed at most once per sub-block,
+    so no per-pair test is needed at all — a candidate beyond +-1 cell in
+    any axis is >= h away (cells are h-wide) and both kernel functions are
+    exactly zero there; blanked lanes are ~1e9 away.  This drops the cl
+    field load and the mask/select ops from the hot loop (was the round-2
+    |cl_b - (cl_a + off_s)| <= 1 test).  Pair math is the r2-space/rsqrt
     restructure validated by the v2 kernels (pallas_pbf2.py docstring):
     (h-r)^2/r = relu(h - r2*u)^2 * u with u = rsqrt(max(r2, EPS^2)); the
     self pair contributes 0 to gradients via dx=dy=dz=0, and r <= h needs no
-    test (relu).  Measured on v5e at 1M (tools/micro_dense.py): lambda
-    39.4 -> ~30 ms/iteration.
+    test (relu).
 
     Accumulation stays in (SUB, WCOL) tiles across all strips/chunks and is
     reduced once per sub-block (cross-lane reductions are ~7 shuffle ops)."""
@@ -304,48 +357,40 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
     hh = np.float32(h * h)
     hf = np.float32(h)
     eps2 = np.float32(K.EPSILON) * np.float32(K.EPSILON)
-    nx, ny, nz = grid.dims
-    offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
 
     def body(wins, rows, sbuf, slot, out, t):
         ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        acl = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        def make_chunk(off_s):
-            def chunk(slot_, strip, o, lo, hi, carry):
-                p6s, gx, gy, gz = carry
-                bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bcl = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = jnp.abs(bcl - (acl + off_s)) <= 1.0
-                dx = ax - bx
-                dy = ay - by
-                dz = az - bz
-                r2 = dx * dx + dy * dy + dz * dz
-                d2p = jnp.maximum(hh - r2, 0.0)
-                p6 = jnp.where(m, d2p * d2p * d2p, 0.0)
-                r2c = jnp.maximum(r2, eps2)
-                u = jax.lax.rsqrt(r2c)
-                tt = jnp.maximum(hf - r2c * u, 0.0)
-                sg = jnp.where(m, tt * tt * u, 0.0)
-                return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
-
-            return chunk
+        def chunk(slot_, strip, o, lo, hi, carry):
+            p6s, gx, gy, gz = carry
+            bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+            by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+            dx = ax - bx
+            dy = ay - by
+            dz = az - bz
+            r2 = dx * dx + dy * dy + dz * dz
+            d2p = jnp.maximum(hh - r2, 0.0)
+            p6 = d2p * d2p * d2p
+            r2c = jnp.maximum(r2, eps2)
+            u = jax.lax.rsqrt(r2c)
+            tt = jnp.maximum(hf - r2c * u, 0.0)
+            sg = tt * tt * u
+            return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
 
         zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero, zero)
         for s in range(9):
-            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]),
+            carry = _window_loop(wins, sbuf, slot, t, s, chunk,
                                  carry, uncond_smax=plan.smax)
         p6s = jnp.sum(carry[0], axis=1, keepdims=True)
         gx = jnp.sum(carry[1], axis=1, keepdims=True)
         gy = jnp.sum(carry[2], axis=1, keepdims=True)
         gz = jnp.sum(carry[3], axis=1, keepdims=True)
-        mass = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        memberf = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        mass = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         rho = mass * (p6s * p6f) * memberf
         rr = np.float32(K.RHO_RECIP)
         c = skf * rr * memberf
@@ -354,8 +399,8 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
         lam = -ci / (norm2 + np.float32(K.CFM_EPSILON))
         out[0, pl.ds(t * SUB, SUB)] = lam.reshape(SUB)
 
-    return _phase_pallas(body, nfields=8, nout=1, plan=plan, capacity=capacity,
-                         interpret=interpret)
+    return _phase_pallas(body, nfields=4, nout=1, plan=plan, capacity=capacity,
+                         interpret=interpret, rows_nfields=5)
 
 
 # ---------------------------------------------------------------------------
@@ -369,8 +414,10 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
     (reference `src/ocl/oclsph_kernel.h:125-151`; the bounds clamp is applied
     by the XLA caller).
 
-    Packed fields (8, C): [psx, psy, psz, lam, cl, memberf, pad, pad]
-    (linear-cell-id adjacency + tile accumulation like the lambda kernel)."""
+    Candidate fields (4, C): [psx, psy, psz, lam], positions blanked to 1e9
+    for non-member lanes (pure-geometry masking + tile accumulation like the
+    lambda kernel; blam of a blanked lane is finite and multiplied by
+    sg == 0)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -381,48 +428,40 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
     xqf = np.float32(p6f / p6dq)
     corr_k = np.float32(-K.CORR_K)
     rr = np.float32(K.RHO_RECIP)
-    nx, ny, nz = grid.dims
-    offs = [np.float32(dx * ny * nz + dy * nz) for dx, dy in STRIP_DXDY]
 
     def body(wins, rows, sbuf, slot, out, t):
         ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         alam = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        acl = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        def make_chunk(off_s):
-            def chunk(slot_, strip, o, lo, hi, carry):
-                dxs, dys, dzs = carry
-                bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bcl = sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL)
-                m = jnp.abs(bcl - (acl + off_s)) <= 1.0
-                dx = ax - bx
-                dy = ay - by
-                dz = az - bz
-                r2 = dx * dx + dy * dy + dz * dz
-                d2p = jnp.maximum(hh - r2, 0.0)
-                xq = d2p * d2p * d2p * xqf
-                x2 = xq * xq
-                corr = corr_k * x2 * x2
-                factor = (alam + blam + corr) * rr
-                r2c = jnp.maximum(r2, eps2)
-                u = jax.lax.rsqrt(r2c)
-                tt = jnp.maximum(hf - r2c * u, 0.0)
-                sg = jnp.where(m, skf * tt * tt * u, 0.0) * factor
-                return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
-
-            return chunk
+        def chunk(slot_, strip, o, lo, hi, carry):
+            dxs, dys, dzs = carry
+            bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+            by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+            blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
+            dx = ax - bx
+            dy = ay - by
+            dz = az - bz
+            r2 = dx * dx + dy * dy + dz * dz
+            d2p = jnp.maximum(hh - r2, 0.0)
+            xq = d2p * d2p * d2p * xqf
+            x2 = xq * xq
+            corr = corr_k * x2 * x2
+            factor = (alam + blam + corr) * rr
+            r2c = jnp.maximum(r2, eps2)
+            u = jax.lax.rsqrt(r2c)
+            tt = jnp.maximum(hf - r2c * u, 0.0)
+            sg = (skf * (tt * tt) * u) * factor
+            return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
 
         zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero)
         for s in range(9):
-            carry = _window_loop(wins, sbuf, slot, t, s, make_chunk(offs[s]),
+            carry = _window_loop(wins, sbuf, slot, t, s, chunk,
                                  carry, uncond_smax=plan.smax)
-        memberf = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         dxs = jnp.sum(carry[0], axis=1, keepdims=True) * memberf
         dys = jnp.sum(carry[1], axis=1, keepdims=True) * memberf
         dzs = jnp.sum(carry[2], axis=1, keepdims=True) * memberf
@@ -430,8 +469,8 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
         out[1, pl.ds(t * SUB, SUB)] = dys.reshape(SUB)
         out[2, pl.ds(t * SUB, SUB)] = dzs.reshape(SUB)
 
-    return _phase_pallas(body, nfields=8, nout=3, plan=plan, capacity=capacity,
-                         interpret=interpret)
+    return _phase_pallas(body, nfields=4, nout=3, plan=plan, capacity=capacity,
+                         interpret=interpret, rows_nfields=5)
 
 
 # ---------------------------------------------------------------------------
@@ -444,12 +483,16 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
     """Neighbour colour sums + counts over the exact 27-cell stencil
     (reference `src/ocl/oclsph_kernel.h:67-93`; the mix/clamp runs in XLA).
 
-    Diffusion has no distance cutoff, so pairs carry exact cell-coordinate
-    adjacency masks (fields fx, fy, fz are the integer cell coords as f32).
+    Diffusion has no distance cutoff, so pairs carry an exact cell-coordinate
+    adjacency test (fields fx, fy, fz are the integer cell coords as f32) —
+    in the symmetric |d| <= 1 per-axis form, which is valid because the
+    plan's chunk-disjoint windows process each pair at most once (the
+    round-2 form matched the window's own (dx, dy) offset, which would
+    undercount when a pair's chunk is attributed to a neighbouring window).
 
-    Packed fields (8, C): [cr, cg, cb, ca, nonobs, fx, fy, fz].
+    Packed fields (8, C): [cr, cg, cb, ca, nonobs, fx, fy, fz] with fx
+    blanked to -1e9 for non-member lanes.
     Output (8, C): [sum_r, sum_g, sum_b, sum_a, count, pad x3]."""
-    dxdy = STRIP_DXDY
 
     def body(wins, rows, sbuf, slot, out, t):
         afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
@@ -458,37 +501,32 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
 
         zero = jnp.zeros((SUB, 1), jnp.float32)
         carry = (zero, zero, zero, zero, zero)
+
+        def chunk(slot_, strip, o, lo, hi, carry):
+            sr, sg_, sb_, sa, cnt = carry
+            cr = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
+            cg = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
+            cb = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
+            ca = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
+            nb = sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
+            bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
+            adj = (
+                (jnp.abs(bfx - afx) <= 1.0)
+                & (jnp.abs(bfy - afy) <= 1.0)
+                & (jnp.abs(bfz - afz) <= 1.0)
+            )
+            w = jnp.where(adj & (nb > 0.5), 1.0, 0.0)
+            return (
+                sr + jnp.sum(cr * w, axis=1, keepdims=True),
+                sg_ + jnp.sum(cg * w, axis=1, keepdims=True),
+                sb_ + jnp.sum(cb * w, axis=1, keepdims=True),
+                sa + jnp.sum(ca * w, axis=1, keepdims=True),
+                cnt + jnp.sum(w, axis=1, keepdims=True),
+            )
+
         for s in range(9):
-            dx_s = np.float32(dxdy[s][0])
-            dy_s = np.float32(dxdy[s][1])
-
-            def chunk(slot_, strip, o, lo, hi, carry, dx_s=dx_s, dy_s=dy_s):
-                sr, sg_, sb_, sa, cnt = carry
-                cr = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
-                cg = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
-                cb = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-                ca = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-                nb = sbuf[slot_, strip, 4, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfx = sbuf[slot_, strip, 5, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfy = sbuf[slot_, strip, 6, pl.ds(o, WCOL)].reshape(1, WCOL)
-                bfz = sbuf[slot_, strip, 7, pl.ds(o, WCOL)].reshape(1, WCOL)
-                # the exact per-axis adjacency test is also the coverage mask
-                # (self-deduping: at most one (dx,dy) window matches a pair's
-                # true offset; non-member lanes have bfx blanked to -1e9)
-                adj = (
-                    (bfx == afx + dx_s)
-                    & (bfy == afy + dy_s)
-                    & (jnp.abs(bfz - afz) <= 1.0)
-                )
-                w = jnp.where(adj & (nb > 0.5), 1.0, 0.0)
-                return (
-                    sr + jnp.sum(cr * w, axis=1, keepdims=True),
-                    sg_ + jnp.sum(cg * w, axis=1, keepdims=True),
-                    sb_ + jnp.sum(cb * w, axis=1, keepdims=True),
-                    sa + jnp.sum(ca * w, axis=1, keepdims=True),
-                    cnt + jnp.sum(w, axis=1, keepdims=True),
-                )
-
             carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry,
                                  uncond_smax=plan.smax)
         sr, sg_, sb_, sa, cnt = carry
@@ -525,35 +563,31 @@ class PallasPhases:
         self._delta = make_delta_call(self.plan, capacity, h, grid, interpret)
         self._diffuse = make_diffuse_call(self.plan, capacity, grid, interpret)
 
-    def _linear_id(self, cells):
-        nx, ny, nz = self.grid.dims
-        return (cells[0] * ny + cells[1]) * nz + cells[2]
-
     def plan_frame(self, sorted_key, cell_table):
         wins, overflow = plan_windows(
             sorted_key, cell_table, self.grid, self.capacity, self.smax
         )
         return wins, overflow
 
+    def _blanked(self, pstar, memberf):
+        # non-member lanes must fail the geometric distance cutoff (the only
+        # candidate mask since the chunk-disjoint plan) — blank positions
+        return [jnp.where(memberf > 0, pstar[a], 1e9) for a in range(3)]
+
     def lambda_phase(self, wins, pstar, mass, memberf, ptype, alive, cells):
-        f = pstar.dtype
-        # non-member lanes must fail the cl-adjacency test (it is the only
-        # candidate mask since round 3) — blank their cell id
-        cl = jnp.where(memberf > 0, self._linear_id(cells).astype(f), 3e9)
-        z = jnp.zeros_like(mass)
-        packed = jnp.stack([pstar[0], pstar[1], pstar[2], cl, mass, memberf, z, z])
-        lam = self._lambda(wins, packed)[0]
+        bl = self._blanked(pstar, memberf)
+        cands = jnp.stack(bl + [jnp.zeros_like(bl[0])])
+        rows = jnp.stack([pstar[0], pstar[1], pstar[2], mass, memberf])
+        lam = self._lambda(wins, cands, rows)[0]
         from pbf_sph_tpu.core.types import FLUID
 
         return jnp.where((ptype == FLUID) & alive, lam, 0.0)
 
     def delta_phase(self, wins, pstar, lam, memberf, ptype, alive,
                     scale, min_bound, max_bound, cells):
-        f = pstar.dtype
-        cl = jnp.where(memberf > 0, self._linear_id(cells).astype(f), 3e9)
-        z = jnp.zeros_like(lam)
-        packed = jnp.stack([pstar[0], pstar[1], pstar[2], lam, cl, memberf, z, z])
-        dp = self._delta(wins, packed)
+        cands = jnp.stack(self._blanked(pstar, memberf) + [lam])
+        rows_in = jnp.stack([pstar[0], pstar[1], pstar[2], lam, memberf])
+        dp = self._delta(wins, cands, rows_in)
         from pbf_sph_tpu.core.types import FLUID
 
         fluid = (ptype == FLUID) & alive
