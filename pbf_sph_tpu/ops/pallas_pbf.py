@@ -254,8 +254,19 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
         _wait_strip_dmas(p_any, sbuf, sems, slot, smax)
 
-        for t in range(nsub_b):  # static: row offsets must be compile-time
-            body(wins, rows, sbuf, slot, out, t)
+        if interpret:
+            # compile-time containment: a dynamic loop keeps the traced body
+            # O(1) in nsub_b — the static unroll below makes the discharged
+            # interpret-mode jaxpr O(nsub_b * 9) dynamic slices, which blew
+            # XLA:CPU compiles of the sharded step past 30 min (the MC node
+            # kernel has nsub_b = 128)
+            jax.lax.fori_loop(
+                0, nsub_b,
+                lambda t, _: (body(wins, rows, sbuf, slot, out, t), 0)[1], 0,
+            )
+        else:
+            for t in range(nsub_b):  # static: row offsets must be compile-time
+                body(wins, rows, sbuf, slot, out, t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
