@@ -92,6 +92,9 @@ def main() -> int:
         state, out = solver.step_device(spec, state, dyn, scn)
         outs.append(out["max_occupancy"])
     jax.block_until_ready(state)
+    # axon tunnel: block_until_ready does not actually block; pulling one
+    # scalar of the LAST frame forces the whole sequential chain to finish
+    outs[-1] = int(outs[-1])
     elapsed = time.perf_counter() - t0
 
     n = len(xs)

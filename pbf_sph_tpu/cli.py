@@ -250,6 +250,17 @@ def summary_stats(xs: List[float]):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # persistent compile cache (same as bench.py): first compiles of the big
+    # steps go through a remote-compile relay here and take minutes; without
+    # this every CLI run pays them again
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.list:
         list_devices(args.verbose)
         return 0

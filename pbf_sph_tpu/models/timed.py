@@ -7,12 +7,19 @@ step can't be timed per phase, so this module builds the same pipeline as
 separately-jitted stages with a device sync between entries.  Numerics are
 identical (same ops functions); only the jit boundaries differ.
 
+The stages are built ONCE per (spec, backend) and take every per-frame value
+as an explicit argument: a closed-over device array becomes a constant baked
+into the trace, so per-frame closures (the round-2 shape of this file) made
+every frame a brand-new executable — neither the in-process jit cache nor the
+persistent compile cache could ever hit, and each table entry was mostly
+compile time over this environment's remote-compile relay.
+
 Keep the stage sequence in sync with `jax_solver.build_step`.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax
@@ -26,6 +33,7 @@ from pbf_sph_tpu.models.jax_solver import (
     _apply_sources,
     _queries,
     dyn_params_of,
+    make_phase_objects,
     scene_arrays_of,
 )
 from pbf_sph_tpu.ops import mc as mc_ops
@@ -38,6 +46,169 @@ from pbf_sph_tpu.ops.grid import (
     stencil_ranges,
 )
 from pbf_sph_tpu.utils.stopwatch import Stopwatch
+
+# (spec, use_pallas) -> stage dict; specs are frozen dataclasses (hashable)
+_STAGES: Dict[Tuple[StepSpec, bool], Dict[str, Any]] = {}
+
+
+def _build_stages(spec: StepSpec, use_pallas: bool) -> Dict[str, Any]:
+    dtype = jnp.dtype(spec.dtype)
+    h = spec.h
+    scale = jnp.asarray(spec.scale, dtype)
+    K = spec.cell_capacity
+    phases, phases2, mc_field_pallas = make_phase_objects(spec, use_pallas)
+    st: Dict[str, Any] = {"kind": "v2" if phases2 is not None else ("v1" if phases is not None else "xla")}
+
+    @jax.jit
+    def sources_drains(state, scn):
+        state, _ = _apply_sources(state, scn, spec, dtype)
+        return _apply_drains(state, scn, spec)
+
+    st["sources_drains"] = sources_drains
+
+    @jax.jit
+    def advect_stage(state, dyn, scn):
+        min_extent = dyn["min_bound"].astype(dtype) / scale - jnp.asarray(h, dtype) * 2
+        vel, pstar = pbf.advect(
+            state.position, state.velocity, state.mass, state.ptype, state.alive,
+            scn["wells_centre"], scn["wells_force"], dyn["constant_force"].astype(dtype),
+            dyn["dt"].astype(dtype), scale,
+        )
+        cells = cell_coords(pstar, min_extent, h)
+        key = sort_key(cells, state.alive, spec.grid)
+        return vel, pstar, key, min_extent
+
+    st["advect"] = advect_stage
+
+    @jax.jit
+    def sort_stage(state, vel, pstar, key):
+        ops = jax.lax.sort(
+            (key, state.pid, state.ptype, state.mass,
+             state.position[0], state.position[1], state.position[2],
+             vel[0], vel[1], vel[2],
+             state.colour[0], state.colour[1], state.colour[2], state.colour[3],
+             state.alive, pstar[0], pstar[1], pstar[2]),
+            num_keys=1, is_stable=True,
+        )
+        sorted_state = FluidState(
+            pid=ops[1], ptype=ops[2], mass=ops[3],
+            position=jnp.stack(ops[4:7]), velocity=jnp.stack(ops[7:10]),
+            colour=jnp.stack(ops[10:14]), alive=ops[14],
+        )
+        return ops[0], sorted_state, jnp.stack(ops[15:18])
+
+    st["sort"] = sort_stage
+    st["gridtable"] = jax.jit(lambda k: build_cell_table(k, spec.grid))
+    st["queries"] = jax.jit(
+        lambda state, tbl, scn, min_extent: _queries(
+            scn, spec, state.pid, state.ptype, state.alive, tbl, min_extent, dtype
+        )
+    )
+    st["decode"] = jax.jit(lambda k: decode_key(k, spec.grid))
+
+    if phases2 is not None:
+        st["plan"] = jax.jit(lambda k, t: phases2.plan_frame(k, t)[0])
+        st["diffuse"] = jax.jit(
+            lambda wins, state, cells, member, dyn: phases2.diffuse(
+                wins, state.colour, cells, member, state.ptype, state.alive,
+                dyn["dt"].astype(dtype),
+            )
+        )
+
+        @jax.jit
+        def iter_stage(wins, pstar, state, member, dyn):
+            cands = phases2.compact_pstar(wins, pstar, member)
+            lam = phases2.lambda_phase(
+                wins, cands, pstar, state.mass, member, state.ptype, state.alive
+            )
+            lamc = phases2.compact_lam(wins, lam)
+            return phases2.delta_phase(
+                wins, cands, lamc, pstar, lam, member, state.ptype, state.alive,
+                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+            )
+
+        st["iter"] = iter_stage
+    elif phases is not None:
+        st["plan"] = jax.jit(lambda k, t: phases.plan_frame(k, t)[0])
+        st["diffuse"] = jax.jit(
+            lambda wins, state, cells, memberf, dyn: phases.diffuse(
+                wins, state.colour, cells, memberf, state.ptype, state.alive,
+                dyn["dt"].astype(dtype),
+            )
+        )
+
+        @jax.jit
+        def iter_stage(wins, pstar, state, memberf, cells, dyn):
+            lam = phases.lambda_phase(
+                wins, pstar, state.mass, memberf, state.ptype, state.alive, cells
+            )
+            return phases.delta_phase(
+                wins, pstar, lam, memberf, state.ptype, state.alive,
+                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+                cells,
+            )
+
+        st["iter"] = iter_stage
+    else:
+        @jax.jit
+        def diffuse_stage(state, cells, member, cell_table, dyn):
+            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
+            return pbf.diffuse(
+                state.colour, state.ptype, state.alive, ranges, K, dyn["dt"].astype(dtype)
+            )
+
+        st["diffuse"] = diffuse_stage
+
+        @jax.jit
+        def iter_stage(pstar, state, cells, member, cell_table, dyn):
+            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
+            lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
+            return pbf.delta_phase(
+                pstar, lam, state.ptype, state.alive, ranges, K, h, scale,
+                dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
+            )
+
+        st["iter"] = iter_stage
+
+    st["finalise"] = jax.jit(
+        lambda p, v, ps, state, dyn: pbf.finalise(
+            p, v, ps, state.ptype, state.alive, dyn["dt"].astype(dtype), scale, dtype
+        )
+    )
+
+    if spec.surface is not None:
+        if mc_field_pallas is not None:
+
+            @jax.jit
+            def field_stage(position, colour, state, cells, member, cell_table,
+                            min_extent, dyn):
+                lv, ln, lc, _ovf = mc_field_pallas(
+                    cell_table, cells, position, colour, state.ptype, state.alive,
+                    member, min_extent, dyn["mc_particle_size"].astype(dtype),
+                    scale, dtype,
+                )
+                return lv, ln, lc
+
+        else:
+
+            @jax.jit
+            def field_stage(position, colour, state, cells, member, cell_table,
+                            min_extent, dyn):
+                return mc_ops.mc_field(
+                    position, colour, state.ptype, state.alive, cell_table, spec.grid,
+                    min_extent, spec.grid.extent, spec.surface, K, h, scale,
+                    dyn["mc_particle_size"].astype(dtype),
+                    dyn["mc_particle_influence"].astype(dtype),
+                )
+
+        st["field"] = field_stage
+        st["extract"] = jax.jit(
+            lambda lat, min_extent, dyn: mc_ops.mc_extract(
+                lat[0], lat[1], lat[2], min_extent, spec.grid.extent,
+                spec.surface, h, scale, dyn["mc_isolevel"].astype(dtype),
+            )
+        )
+    return st
 
 
 def advance_timed(
@@ -52,212 +223,89 @@ def advance_timed(
     scn = jax.device_put(scene_arrays_of(scene, spec.scene, solver.dtype))
     dyn = jax.device_put(dyn_params_of(config, solver.dtype))
     state = jax.device_put(FluidState.from_soa(xs, spec.capacity, solver.dtype))
-    h = spec.h
-    scale = jnp.asarray(spec.scale, dtype)
-    K = spec.cell_capacity
+
+    cache_key = (spec, solver.use_pallas)
+    stages = _STAGES.get(cache_key)
+    if stages is None:
+        stages = _STAGES[cache_key] = _build_stages(spec, solver.use_pallas)
 
     def sync(x):
-        return jax.block_until_ready(x)
+        jax.block_until_ready(x)
+        # axon tunnel: block_until_ready does not actually block there; pull
+        # ONE scalar to force completion (adds ~tunnel-latency per phase, so
+        # the table is qualitative at the small end but never mis-attributes
+        # a big phase to a later one)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(jnp.ravel(leaf)[:1])
+        return x
 
     stop = watch.start("CPU source+drain")
-    state, _ = jax.jit(lambda s: _apply_sources(s, scn, spec, dtype))(state)
-    state = jax.jit(lambda s: _apply_drains(s, scn, spec))(state)
-    sync(state)
+    state = sync(stages["sources_drains"](state, scn))
     stop()
 
     stop = watch.start("CPU advect+copy")
-
-    @jax.jit
-    def advect_stage(state, dyn):
-        min_extent = dyn["min_bound"].astype(dtype) / scale - jnp.asarray(h, dtype) * 2
-        vel, pstar = pbf.advect(
-            state.position, state.velocity, state.mass, state.ptype, state.alive,
-            scn["wells_centre"], scn["wells_force"], dyn["constant_force"].astype(dtype),
-            dyn["dt"].astype(dtype), scale,
-        )
-        cells = cell_coords(pstar, min_extent, h)
-        key = sort_key(cells, state.alive, spec.grid)
-        return vel, pstar, key, min_extent
-
-    vel, pstar, key, min_extent = sync(advect_stage(state, dyn))
+    vel, pstar, key, min_extent = sync(stages["advect"](state, dyn, scn))
     stop()
 
     stop = watch.start("CPU sortz")
-
-    @jax.jit
-    def sort_stage(state, vel, pstar, key):
-        ops = jax.lax.sort(
-            (key, state.pid, state.ptype, state.mass,
-             state.position[0], state.position[1], state.position[2],
-             vel[0], vel[1], vel[2],
-             state.colour[0], state.colour[1], state.colour[2], state.colour[3],
-             state.alive, pstar[0], pstar[1], pstar[2]),
-            num_keys=1, is_stable=True,
-        )
-        st = FluidState(
-            pid=ops[1], ptype=ops[2], mass=ops[3],
-            position=jnp.stack(ops[4:7]), velocity=jnp.stack(ops[7:10]),
-            colour=jnp.stack(ops[10:14]), alive=ops[14],
-        )
-        return ops[0], st, jnp.stack(ops[15:18])
-
-    key, state, pstar = sync(sort_stage(state, vel, pstar, key))
+    key, state, pstar = sync(stages["sort"](state, vel, pstar, key))
     vel = state.velocity
     stop()
 
     stop = watch.start("CPU gridtable")
-    cell_table = sync(jax.jit(lambda k: build_cell_table(k, spec.grid))(key))
+    cell_table = sync(stages["gridtable"](key))
     stop()
 
     stop = watch.start(f"CPU query({spec.scene.n_queries})")
-    q_ids, q_counts, _q_ovf = sync(
-        jax.jit(
-            lambda st, tbl: _queries(
-                scn, spec, st.pid, st.ptype, st.alive, tbl, min_extent, dtype
-            )
-        )(state, cell_table)
-    )
+    q_ids, q_counts, _q_ovf = sync(stages["queries"](state, cell_table, scn, min_extent))
     stop()
 
-    cells, member = jax.jit(lambda k: decode_key(k, spec.grid))(key)
+    cells, member = stages["decode"](key)
 
-    # the SAME phase pipeline the fused production step uses: Pallas v2/v1
-    # kernels for `--impl pallas`, the XLA gather phases for `--impl jax`
-    from pbf_sph_tpu.models.jax_solver import make_phase_objects
-
-    phases, phases2, mc_field_pallas = make_phase_objects(spec, solver.use_pallas)
-
-    if phases2 is not None:
+    kind = stages["kind"]
+    if kind == "v2":
         stop = watch.start("\t[TPU] plan-compact")
-        wins = sync(jax.jit(lambda k, t: phases2.plan_frame(k, t)[0])(key, cell_table))
+        wins = sync(stages["plan"](key, cell_table))
         stop()
-
         stop = watch.start("\t[TPU] sph-diffuse ")
-        colour = sync(
-            jax.jit(
-                lambda st, dyn: phases2.diffuse(
-                    wins, st.colour, cells, member, st.ptype, st.alive,
-                    dyn["dt"].astype(dtype),
-                )
-            )(state, dyn)
-        )
+        colour = sync(stages["diffuse"](wins, state, cells, member, dyn))
         stop()
-
-        @jax.jit
-        def iter_stage(pstar, state, dyn):
-            cands = phases2.compact_pstar(wins, pstar, member)
-            lam = phases2.lambda_phase(
-                wins, cands, pstar, state.mass, member, state.ptype, state.alive
-            )
-            lamc = phases2.compact_lam(wins, lam)
-            return phases2.delta_phase(
-                wins, cands, lamc, pstar, lam, member, state.ptype, state.alive,
-                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
-            )
-
-    elif phases is not None:
+        iter_args = lambda ps: (wins, ps, state, member, dyn)
+    elif kind == "v1":
         stop = watch.start("\t[TPU] plan-windows")
-        wins = sync(jax.jit(lambda k, t: phases.plan_frame(k, t)[0])(key, cell_table))
+        wins = sync(stages["plan"](key, cell_table))
         stop()
         memberf = member.astype(dtype)
-
         stop = watch.start("\t[TPU] sph-diffuse ")
-        colour = sync(
-            jax.jit(
-                lambda st, dyn: phases.diffuse(
-                    wins, st.colour, cells, memberf, st.ptype, st.alive,
-                    dyn["dt"].astype(dtype),
-                )
-            )(state, dyn)
-        )
+        colour = sync(stages["diffuse"](wins, state, cells, memberf, dyn))
         stop()
-
-        @jax.jit
-        def iter_stage(pstar, state, dyn):
-            lam = phases.lambda_phase(
-                wins, pstar, state.mass, memberf, state.ptype, state.alive, cells
-            )
-            return phases.delta_phase(
-                wins, pstar, lam, memberf, state.ptype, state.alive,
-                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
-                cells,
-            )
-
+        iter_args = lambda ps: (wins, ps, state, memberf, cells, dyn)
     else:
-        @jax.jit
-        def diffuse_stage(state, cells, member, cell_table, dyn):
-            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
-            return pbf.diffuse(
-                state.colour, state.ptype, state.alive, ranges, K, dyn["dt"].astype(dtype)
-            )
-
         stop = watch.start("\t[TPU] sph-diffuse ")
-        colour = sync(diffuse_stage(state, cells, member, cell_table, dyn))
+        colour = sync(stages["diffuse"](state, cells, member, cell_table, dyn))
         stop()
-
-        @jax.jit
-        def iter_stage(pstar, state, dyn):
-            ranges = stencil_ranges(cells, member, cell_table, spec.grid)
-            lam = pbf.lambda_phase(pstar, state.mass, state.ptype, state.alive, ranges, K, h)
-            return pbf.delta_phase(
-                pstar, lam, state.ptype, state.alive, ranges, K, h, scale,
-                dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
-            )
+        iter_args = lambda ps: (ps, state, cells, member, cell_table, dyn)
 
     stop = watch.start(f"\t[TPU] sph-lambda/delta*{spec.iteration}")
     for _ in range(spec.iteration):
-        pstar = iter_stage(pstar, state, dyn)
+        pstar = stages["iter"](*iter_args(pstar))
     sync(pstar)
     stop()
 
     stop = watch.start("\t[TPU] sph-finalise")
-    position, velocity = sync(
-        jax.jit(
-            lambda p, v, ps, dyn: pbf.finalise(
-                p, v, ps, state.ptype, state.alive, dyn["dt"].astype(dtype), scale, dtype
-            )
-        )(state.position, vel, pstar, dyn)
-    )
+    position, velocity = sync(stages["finalise"](state.position, vel, pstar, state, dyn))
     stop()
 
     mesh_out = None
     if spec.surface is not None:
         stop = watch.start("\t[TPU] mc-field")
-
-        if mc_field_pallas is not None:
-
-            @jax.jit
-            def field_stage(position, colour, state, cell_table, dyn):
-                lv, ln, lc, _ovf = mc_field_pallas(
-                    cell_table, cells, position, colour, state.ptype, state.alive,
-                    member, min_extent, dyn["mc_particle_size"].astype(dtype),
-                    scale, dtype,
-                )
-                return lv, ln, lc
-
-        else:
-
-            @jax.jit
-            def field_stage(position, colour, state, cell_table, dyn):
-                return mc_ops.mc_field(
-                    position, colour, state.ptype, state.alive, cell_table, spec.grid,
-                    min_extent, spec.grid.extent, spec.surface, K, h, scale,
-                    dyn["mc_particle_size"].astype(dtype),
-                    dyn["mc_particle_influence"].astype(dtype),
-                )
-
-        lat = sync(field_stage(position, colour, state, cell_table, dyn))
+        lat = sync(stages["field"](
+            position, colour, state, cells, member, cell_table, min_extent, dyn
+        ))
         stop()
 
         stop = watch.start("\t[TPU] mc_psum+gpu_mc")
-        mesh_out = sync(
-            jax.jit(
-                lambda lat, dyn: mc_ops.mc_extract(
-                    lat[0], lat[1], lat[2], min_extent, spec.grid.extent,
-                    spec.surface, h, scale, dyn["mc_isolevel"].astype(dtype),
-                )
-            )(lat, dyn)
-        )
+        mesh_out = sync(stages["extract"](lat, min_extent, dyn))
         stop()
 
     stop = watch.start("\t[TPU] write back")

@@ -214,7 +214,8 @@ def _wait_strip_dmas(p_hbm, sbuf, sems, slot, smax):
 
 
 def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity: int,
-                  interpret: bool = False, rows_capacity: int = 0, rows_nfields: int = 0):
+                  interpret: bool = False, rows_capacity: int = 0, rows_nfields: int = 0,
+                  init_out: bool = False):
     """Assemble the common pallas_call for one phase.
 
     body(wins_smem, rows_vmem, strips_vmem_slot, out_ref, t) -> None is the
@@ -223,7 +224,10 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
 
     By default rows == the candidate array (particle phases).  Pass
     rows_capacity/rows_nfields for kernels whose rows are a different array
-    (the MC lattice kernel: rows = nodes, candidates = particles)."""
+    (the MC lattice kernel: rows = nodes, candidates = particles).
+    init_out=True zeroes the whole output block before the sub-block loop so
+    a body may skip its stores entirely (the MC node kernel's vacuum
+    sub-block fast path)."""
     smax = plan.smax
     nblocks = plan.nblocks
     nsub_b = BLK // plan.sub
@@ -253,6 +257,9 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
             _issue_strip_dmas(p_any, sbuf, sems, 1 - slot, wins_nxt, smax, nsub_b)
 
         _wait_strip_dmas(p_any, sbuf, sems, slot, smax)
+
+        if init_out:
+            out[...] = jnp.zeros((nout, BLK), jnp.float32)
 
         if interpret:
             # compile-time containment: a dynamic loop keeps the traced body
@@ -510,7 +517,10 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
         afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
         afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
 
-        zero = jnp.zeros((SUB, 1), jnp.float32)
+        # accumulate in (SUB, WCOL) tiles like the lambda/delta kernels —
+        # cross-lane reductions are ~7 shuffle ops each and the old per-chunk
+        # 5x jnp.sum dominated the chunk body; reduce once per sub-block
+        zero = jnp.zeros((SUB, WCOL), jnp.float32)
         carry = (zero, zero, zero, zero, zero)
 
         def chunk(slot_, strip, o, lo, hi, carry):
@@ -530,22 +540,18 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
             )
             w = jnp.where(adj & (nb > 0.5), 1.0, 0.0)
             return (
-                sr + jnp.sum(cr * w, axis=1, keepdims=True),
-                sg_ + jnp.sum(cg * w, axis=1, keepdims=True),
-                sb_ + jnp.sum(cb * w, axis=1, keepdims=True),
-                sa + jnp.sum(ca * w, axis=1, keepdims=True),
-                cnt + jnp.sum(w, axis=1, keepdims=True),
+                sr + cr * w,
+                sg_ + cg * w,
+                sb_ + cb * w,
+                sa + ca * w,
+                cnt + w,
             )
 
         for s in range(9):
             carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry,
                                  uncond_smax=plan.smax)
-        sr, sg_, sb_, sa, cnt = carry
-        out[0, pl.ds(t * SUB, SUB)] = sr.reshape(SUB)
-        out[1, pl.ds(t * SUB, SUB)] = sg_.reshape(SUB)
-        out[2, pl.ds(t * SUB, SUB)] = sb_.reshape(SUB)
-        out[3, pl.ds(t * SUB, SUB)] = sa.reshape(SUB)
-        out[4, pl.ds(t * SUB, SUB)] = cnt.reshape(SUB)
+        for a, tile in enumerate(carry):
+            out[a, pl.ds(t * SUB, SUB)] = jnp.sum(tile, axis=1)
 
 
     return _phase_pallas(body, nfields=8, nout=8, plan=plan, capacity=capacity,

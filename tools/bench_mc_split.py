@@ -113,13 +113,16 @@ def main():
 
     @jax.jit
     def field_part(state, dyn, scn):
+        # return EVERYTHING: returning only lat_v lets XLA dead-code-eliminate
+        # the normal/colour assembly and under-reports the stage (round-3
+        # lesson: the "33 ms extract" of round 2 was a DCE artifact)
         (cell_table, cells, position, colour, ptype, alive, member,
          min_extent) = sorted_inputs(state, dyn, scn)
         scale = jnp.asarray(spec.scale, dtype)
         lat_v, lat_n, lat_c, ovf = mcf(
             cell_table, cells, position, colour, ptype, alive, member,
             min_extent, dyn["mc_particle_size"].astype(dtype), scale, dtype)
-        return lat_v
+        return lat_v, lat_n, lat_c, ovf
 
     @jax.jit
     def extract_part(state, dyn, scn):
@@ -132,7 +135,7 @@ def main():
         vs, ns, cs, total = mc_ops.mc_extract(
             lat_v, lat_n, lat_c, min_extent, spec.grid.extent, spec.surface,
             spec.h, scale, dyn["mc_isolevel"].astype(dtype))
-        return total
+        return vs, ns, cs, total
 
     _, t_sort = timed(sort_part, state, dyn, scn, label="advect+sort+table")
     _, t_field = timed(field_part, state, dyn, scn, label="  +mc field")
