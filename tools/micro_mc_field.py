@@ -109,8 +109,8 @@ def main():
         vel, pstar = pbf.advect(
             state.position, state.velocity, state.mass, state.ptype, state.alive,
             scn["wells_centre"], scn["wells_force"],
-            dyn["constant_force"].astype(dtype), dt, scale, h, dtype)
-        cells = cell_coords(pstar, min_extent, h, spec.grid)
+            dyn["constant_force"].astype(dtype), dt, scale)
+        cells = cell_coords(pstar, min_extent, h)
         key = sort_key(cells, state.alive, spec.grid)
         ops = jax.lax.sort(
             (key, state.ptype, state.alive, pstar[0], pstar[1], pstar[2],
