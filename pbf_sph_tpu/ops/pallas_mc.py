@@ -131,6 +131,11 @@ def _node_static_plan(mc: McSpec, grid: GridSpec, sub: int = MC_SUB):
 
     inv = np.zeros(L, np.int64)
     inv[order] = np.arange(L)
+    # row -> lattice index, pads keyed past the end so a single multi-operand
+    # sort restores lattice order (an explicit out[:, inv] gather measured
+    # 170 ms at mc128k — XLA lowers the minor-dim gather to a scalar loop;
+    # lax.sort of the same rows is ~1 ms)
+    row_lat = np.concatenate([order, np.arange(L, lpad, dtype=order.dtype)])
     return dict(
         L=L, lpad=lpad,
         node_xyz=node_xyz,
@@ -139,6 +144,7 @@ def _node_static_plan(mc: McSpec, grid: GridSpec, sub: int = MC_SUB):
         hi_cells=hi_cells,
         skip=pad(skip, True),
         inv_perm=inv,  # lattice-order index -> kernel row
+        row_lat=row_lat,  # kernel row -> lattice index (pads at the tail)
     )
 
 
@@ -323,20 +329,27 @@ class PallasMcField:
         rows = jnp.stack([aw[0], aw[1], aw[2], meta])
 
         out = self._call(wins, packed, rows)  # (16, LPAD), cell-sorted rows
-        inv = jnp.asarray(st["inv_perm"], jnp.int32)  # back to lattice order
-        s0, sx, sy, sz = out[0, inv], out[1, inv], out[2, inv], out[3, inv]
-        csum = out[4:8, inv]
-        cnt = out[8, inv]
+        s0, sx, sy, sz = out[0], out[1], out[2], out[3]
+        csum = out[4:8]
+        cnt = out[8]
 
-        skip = jnp.asarray(st["skip"])[inv]
-        lat_v = jnp.where(skip, 0.0, particle_size * s0)
+        # assemble in kernel-row order (all elementwise), then restore
+        # lattice order with ONE multi-operand sort on the static
+        # row->lattice key — an out[:, inv_perm] gather here measured
+        # 170 ms at mc128k (minor-dim gather = scalar loop on TPU)
+        skip = jnp.asarray(st["skip"])
+        v = jnp.where(skip, 0.0, particle_size * s0)
         n_norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
         # normal = normalize(-infl*size*S) = -S/|S| (raw divide: NaN when
         # empty, like the reference); skip nodes stay exactly 0
-        lat_n = jnp.stack(
-            [jnp.where(skip, 0.0, -sx / n_norm),
+        n = [jnp.where(skip, 0.0, -sx / n_norm),
              jnp.where(skip, 0.0, -sy / n_norm),
              jnp.where(skip, 0.0, -sz / n_norm)]
-        )
-        lat_c = jnp.stack([jnp.where(skip, 0.0, csum[a] / cnt) for a in range(4)])
+        c = [jnp.where(skip, 0.0, csum[a] / cnt) for a in range(4)]
+        key = jnp.asarray(st["row_lat"], jnp.int32)
+        srt = jax.lax.sort((key, v, *n, *c), num_keys=1, is_stable=False)
+        L = st["L"]
+        lat_v = srt[1][:L]
+        lat_n = jnp.stack([srt[2 + a][:L] for a in range(3)])
+        lat_c = jnp.stack([srt[5 + a][:L] for a in range(4)])
         return lat_v, lat_n, lat_c, overflow

@@ -89,6 +89,9 @@ def main():
     mcp, cfg, xs = WORKLOADS[name]()
     solver = make_solver("pallas", h=cfg.h)
     spec, state, scn = solver.prepare(cfg, Scene(), xs)
+    if len(sys.argv) > 2:  # force the MC strip capacity (smax sweep)
+        import dataclasses
+        spec = dataclasses.replace(spec, mc_strip_capacity=int(sys.argv[2]))
     dyn = dyn_params_of(cfg, solver.dtype)
     for _ in range(5):
         state, out = solver.step_device(spec, state, dyn, scn)
@@ -147,6 +150,82 @@ def main():
         timed(fn, wins, packed, rows, label=mode)
     full = jax.jit(lambda w, p, r: mcf._call(w, p, r))
     timed(full, wins, packed, rows, label="full (production)")
+    out = jax.block_until_ready(full(wins, packed, rows))
+
+    # --- wrapper bisection: the kernel measures ~8 ms yet the composed
+    # field stage measures ~173 (tools/bench_mc_split.py) — time the
+    # __call__ scaffolding pieces around the pallas_call
+    st = mcf.static
+
+    @jax.jit
+    def plan_only(cell_table):
+        wins, ovf = plan_mc_windows(cell_table, st, spec.grid.ncells,
+                                    mcf.capacity, mcf.smax, mcf.sub)
+        return wins, ovf
+
+    @jax.jit
+    def unpermute_gather(out):
+        inv = jnp.asarray(st["inv_perm"], jnp.int32)
+        s0, sx, sy, sz = out[0, inv], out[1, inv], out[2, inv], out[3, inv]
+        csum = out[4:8, inv]
+        cnt = out[8, inv]
+        skip = jnp.asarray(st["skip"])[inv]
+        lat_v = jnp.where(skip, 0.0, 0.5 * s0)
+        n_norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        lat_n = jnp.stack(
+            [jnp.where(skip, 0.0, -sx / n_norm),
+             jnp.where(skip, 0.0, -sy / n_norm),
+             jnp.where(skip, 0.0, -sz / n_norm)])
+        lat_c = jnp.stack([jnp.where(skip, 0.0, csum[a] / cnt) for a in range(4)])
+        return lat_v, lat_n, lat_c
+
+    @jax.jit
+    def unpermute_sort(out):
+        s0, sx, sy, sz = out[0], out[1], out[2], out[3]
+        csum, cnt = out[4:8], out[8]
+        skip = jnp.asarray(st["skip"])
+        v = jnp.where(skip, 0.0, 0.5 * s0)
+        n_norm = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        n = [jnp.where(skip, 0.0, -sx / n_norm),
+             jnp.where(skip, 0.0, -sy / n_norm),
+             jnp.where(skip, 0.0, -sz / n_norm)]
+        c = [jnp.where(skip, 0.0, csum[a] / cnt) for a in range(4)]
+        key = jnp.asarray(st["row_lat"], jnp.int32)
+        srt = jax.lax.sort((key, v, *n, *c), num_keys=1, is_stable=False)
+        L = st["L"]
+        return srt[1][:L], jnp.stack([srt[2 + a][:L] for a in range(3)]), \
+            jnp.stack([srt[5 + a][:L] for a in range(4)])
+
+    @jax.jit
+    def table_only(state, dyn, scn):
+        from pbf_sph_tpu.ops.grid import build_cell_table, cell_coords, sort_key
+        from pbf_sph_tpu.ops import pbf as _pbf
+        h, scale = spec.h, jnp.asarray(spec.scale, dtype)
+        dt = dyn["dt"].astype(dtype)
+        min_extent = dyn["min_bound"].astype(dtype) / scale - jnp.asarray(h, dtype) * 2
+        vel, pstar = _pbf.advect(
+            state.position, state.velocity, state.mass, state.ptype, state.alive,
+            scn["wells_centre"], scn["wells_force"],
+            dyn["constant_force"].astype(dtype), dt, scale)
+        cells = cell_coords(pstar, min_extent, h)
+        key = sort_key(cells, state.alive, spec.grid)
+        key = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
+        return build_cell_table(key, spec.grid)
+
+    table = jax.block_until_ready(table_only(state, dyn, scn))
+    sync(table)
+    timed(plan_only, table, label="plan_mc_windows")
+    timed(unpermute_gather, out, label="unpermute (inv gather)")
+    timed(unpermute_sort, out, label="unpermute (lax.sort)")
+
+    @jax.jit
+    def call_full(cell_table, packed, rows):
+        wins, ovf = plan_mc_windows(cell_table, st, spec.grid.ncells,
+                                    mcf.capacity, mcf.smax, mcf.sub)
+        out = mcf._call(wins, packed, rows)
+        return unpermute_sort(out), ovf
+
+    timed(call_full, table, packed, rows, label="plan+kernel+sort (new)")
 
 
 if __name__ == "__main__":
