@@ -213,6 +213,21 @@ def run_multichip(args, config, particles, output) -> int:
 
     lo, hi, mean, _, std = summary_stats(frame_times)
     counts = np.asarray(stats["alive_count"]).ravel()
+    # dropped work corrupts physics silently — surface it like the
+    # single-chip growth loop does (capacities are fixed across a
+    # compiled sharded step, so the remedy is larger ShardSpec
+    # capacities, sized from ghost_peak)
+    drops = {
+        k: int(np.asarray(stats[k]).sum())
+        for k in ("migrate_dropped", "ghost_dropped")
+    }
+    if any(drops.values()):
+        print(
+            f"WARNING: dropped work in the final frame {drops}; "
+            f"ghost_peak={int(np.asarray(stats['ghost_peak']).max())} "
+            f"(ghost_cap={spec.ghost_cap}) — results are not trustworthy; "
+            f"re-run with larger ShardSpec capacities"
+        )
     tri_total = (
         int(np.asarray(stats["tri_count"]).sum()) if spec.surface is not None else 0
     )

@@ -676,6 +676,12 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             ghost_dropped=(
                 jnp.maximum(jnp.sum(bl) - H, 0) + jnp.maximum(jnp.sum(br) - H, 0)
             ).astype(jnp.int32)[None],
+            # per-device peak boundary-layer occupancy this frame — the
+            # number ghost_cap must cover (sizing evidence for users; the
+            # CLI --multichip path prints it on overflow)
+            ghost_peak=jnp.maximum(
+                jnp.sum(bl), jnp.sum(br)
+            ).astype(jnp.int32)[None],
             spawn_dropped=(jnp.asarray(total_spawn, jnp.int32) - spawned)[None],
             strip_overflow=strip_ovf[None],
             wcap_overflow=wcap_ovf[None],
@@ -706,7 +712,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     )
     stats_specs = dict(
         alive_count=P(AXIS), migrate_dropped=P(AXIS), migrate_deferred=P(AXIS),
-        ghost_dropped=P(AXIS),
+        ghost_dropped=P(AXIS), ghost_peak=P(AXIS),
         spawn_dropped=P(AXIS), strip_overflow=P(AXIS), wcap_overflow=P(AXIS),
         query_overflow=P(AXIS), query_ids=P(), query_counts=P(),
     )

@@ -263,12 +263,17 @@ def test_rebalance_sloshing():
       * 60 settle frames first: cubes in free fall slam the moving wall as a
         coherent block and the clamp concentrates ~45% of all particles into
         1-2 grid columns for a few frames — a settled pool sloshes as a wave
-        (transient peak 712 of 2000 at 4 slabs) which IS balanceable."""
+        which IS balanceable;
+      * capacities sized from the measured transient demand (per-frame
+        sweep with the ghost_peak stat): the frame-20-25 wall slam peaks one
+        device at 863 owned particles and 793 boundary-column ghosts, so
+        cap_local=992 / ghost_cap=832 hold with zero drops AND zero
+        deferrals (cap_local=832 measured 34 dropped immigrants)."""
     n_dev = 4
     mc, cfg, particles = simple_config_with_2_cubes(2000, 2, 250.0)
     xs_m, spec, peak, drops, bounds = run_sharded_rebalance(
         cfg, particles, n_dev, frames=200, motion=True, settle=60,
-        cap_local=832, ghost_cap=832, min_slab_w=2,
+        cap_local=992, ghost_cap=832, min_slab_w=2,
     )
     assert spec.cap_local < 0.5 * len(particles)
     assert sum(drops.values()) == 0, drops
