@@ -284,7 +284,7 @@ def _phase_pallas(body, nfields: int, nout: int, plan: PallasPlanSpec, capacity:
             pl.BlockSpec((1, 1, (nsub_b + 1) * 18),
                          lambda b: (jnp.minimum(b + 1, nblocks - 1), 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((rows_nfields, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nout, BLK), lambda b: (0, b), memory_space=pltpu.VMEM),
