@@ -110,7 +110,11 @@ class SphParams:
     min_bound: Tuple[float, float, float]
     max_bound: Tuple[float, float, float]
     h: float = 0.1
-    wait: bool = True  # kept for reference API parity; no-op on TPU
+    # Reference semantics: gate a device sync after every phase
+    # (`src/sycl/syclsph.hpp:179-181`).  Here it gates the per-phase-sync
+    # timed pipeline under --phase-timings (cli.py); the production path is
+    # one fused jitted step, where a per-phase sync cannot exist by design.
+    wait: bool = True
     surface: Optional[McParams] = None
 
     def replace(self, **kw) -> "SphParams":
