@@ -82,6 +82,8 @@ WORKLOADS = {
     "parity32k": lambda: dam_break(32_000, solver_iter=3),
     "dam256k": lambda: dam_break(256_000, solver_iter=5),
     "mc128k": lambda: dam_break(128_000, solver_iter=3, surface=True),
+    # MC-scaling point: 4x the particles/lattice of mc128k
+    "mc512k": lambda: dam_break(512_000, solver_iter=3, surface=True),
     "dam1m": lambda: dam_break(1_000_000, solver_iter=6),
     "dam2m": lambda: dam_break(2_000_000, solver_iter=6),
 }
