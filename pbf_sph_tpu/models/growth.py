@@ -48,6 +48,22 @@ def growth_changes(spec, out) -> Dict[str, Any]:
                 spec.surface, tri_capacity=-(-int(tri * 1.5) // 1024) * 1024
             )
 
+        # blocked-emission staging rows -> surface.emit_cap; a block denser
+        # than the whole two-stage scheme can amortize falls back to the
+        # single global sort (emit_block=0), which is correct at any density
+        eovf = int(out.get("mc_emit_overflow", 0))
+        if eovf > 0 and spec.surface.emit_block > 0:
+            from pbf_sph_tpu.ops.mc import EMIT_CAP_DEFAULT
+
+            sur = changes.get("surface", spec.surface)
+            cur = max(128, sur.emit_cap or EMIT_CAP_DEFAULT)
+            new_cap = -(-(cur + eovf) * 5 // 4 // 128) * 128
+            if new_cap >= 15 * sur.emit_block:
+                changes["surface"] = dataclasses.replace(
+                    sur, emit_block=0, emit_cap=0)
+            else:
+                changes["surface"] = dataclasses.replace(sur, emit_cap=new_cap)
+
         # MC node-kernel strips: grow to the VMEM-safe MC cap; only a
         # persistent overflow falls back to the XLA field (which is ~12x
         # slower at res 1.0 — 913M gathered elements).  Kept separate from

@@ -535,11 +535,12 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
                     dyn["mc_particle_size"].astype(dtype),
                     dyn["mc_particle_influence"].astype(dtype),
                 )
-            vs, ns, cs, total = mc_ops.mc_extract(
+            vs, ns, cs, total, emit_ovf = mc_ops.mc_extract(
                 lat_v, lat_n, lat_c, min_extent, spec.grid.extent, spec.surface,
                 h, scale, dyn["mc_isolevel"].astype(dtype),
             )
-            outputs.update(mesh_vs=vs, mesh_ns=ns, mesh_cs=cs, tri_count=total)
+            outputs.update(mesh_vs=vs, mesh_ns=ns, mesh_cs=cs, tri_count=total,
+                           mc_emit_overflow=emit_ovf)
 
         new_state = FluidState(
             pid=state.pid, ptype=state.ptype, mass=state.mass,

@@ -27,6 +27,11 @@ from pbf_sph_tpu.ops import mc_tables as mct
 from pbf_sph_tpu.ops.curves import morton_encode3
 
 
+# initial staged-rows-per-block capacity for blocked emission (grown on
+# emit_overflow, models/growth.py)
+EMIT_CAP_DEFAULT = 1280
+
+
 @dataclass(frozen=True)
 class McSpec:
     """Static MC geometry derived from the grid extent and the (static)
@@ -40,6 +45,15 @@ class McSpec:
     # kernel bakes it (len^infl needs a transcendental for arbitrary
     # exponents; 0.5 compiles to sqrt) — changing it recompiles.
     influence_static: float = 0.5
+    # Blocked two-stage emission (round 3): compact each `emit_block`-cube
+    # block's live vertex slots to the front with one row-sort over
+    # (nblk, 15*B) blocks, keep the first `emit_cap` staged rows per block
+    # (128-aligned; grown on emit_overflow), then merge with a short global
+    # sort over nblk*emit_cap rows instead of 15*M.  emit_block=0 keeps the
+    # single global sort (correct at any size, slower at scale — it sorts
+    # ~90% padding, BENCHMARKS.md "MC extraction cost model").
+    emit_block: int = 0
+    emit_cap: int = 0
 
     @staticmethod
     def from_extent(extent, resolution: float, tri_capacity: int = 0,
@@ -204,24 +218,11 @@ def _corner_slices(lat, sample):
     return jnp.stack(outs)
 
 
-def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
-               h: float, scale, isolevel, node_offset=None):
-    """Case classification + cumsum compaction + deterministic emission
-    (reference mc_size `src/ocl/oclsph_kernel.h:272-318` and mc_eval
-    `:336-408`, atomics replaced by exclusive-cumsum offsets).
-
-    Multi-chip slab mode: `node_offset` maps local cube/node coords to
-    global ones for vertex world positions, and cubes whose global min
-    corner falls outside the global march volume (last-slab padding) emit
-    nothing.
-
-    TPU structure: corner values come from shifted 3D slices (no gathers);
-    per-vertex edge attributes are selected with an unrolled one-hot reduce
-    over the 12 edges; emission is 15 multi-component scatters (one per
-    triangle-vertex slot) with shared indices instead of 150 per-component
-    scatters.
-
-    Returns (vs (3, 3T), ns (3, 3T), cs (4, 3T), total)."""
+def _emission_inputs(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
+                     h: float, scale, isolevel, node_offset=None):
+    """Shared front half of extraction: case classification, triangle
+    cumsum, edge-lerped per-edge payload.  Returns
+    (ntris (M,), offs (M,) exclusive, total, tri15 (15,M), payload (10,12,M))."""
     dtype = lat_v.dtype
     nx, ny, nz = spec.sample
     mx, my, mz = nx - 1, ny - 1, nz - 1
@@ -289,13 +290,41 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     )
 
     tri15 = tri_t[ci][:, :15].T                     # (15, M) edge ids, -1 pad
+    return ntris, offs, total, tri15, payload
+
+
+def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
+               h: float, scale, isolevel, node_offset=None):
+    """Case classification + cumsum compaction + deterministic emission
+    (reference mc_size `src/ocl/oclsph_kernel.h:272-318` and mc_eval
+    `:336-408`, atomics replaced by exclusive-cumsum offsets).
+
+    Multi-chip slab mode: `node_offset` maps local cube/node coords to
+    global ones for vertex world positions, and cubes whose global min
+    corner falls outside the global march volume (last-slab padding) emit
+    nothing.
+
+    TPU structure: corner values come from shifted 3D slices (no gathers);
+    per-vertex edge attributes are selected with an unrolled one-hot reduce
+    over the 12 edges; emission sorts vertex slots by destination (invalid
+    slots carry a past-the-end key), which packs the output exactly.
+    Emission by SORT compaction (round 3): the earlier 15 column-scatters
+    into (10, cap3) serialized on TPU (~hundreds of ms at 97k cubes —
+    minor-axis scatter is pathological).  Destination slots are unique and
+    dense (0..3T-1 from the cumsum), so sorting by destination packs the
+    output; the `big` tail is re-zeroed.  With `spec.emit_block` set the
+    sort is two-stage (blocked compaction then a short merge sort — see the
+    McSpec field comment); `emit_overflow` > 0 means a block held more live
+    rows than `spec.emit_cap` and the mesh is truncated (grow and re-run,
+    models/growth.py).
+
+    Returns (vs (3, 3T), ns (3, 3T), cs (4, 3T), total, emit_overflow)."""
+    dtype = lat_v.dtype
+    ntris, offs, total, tri15, payload = _emission_inputs(
+        lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale, isolevel,
+        node_offset)
+    M = ntris.shape[0]
     cap3 = spec.tri_capacity * 3
-    # Emission by SORT compaction (round 3): the earlier 15 column-scatters
-    # into (10, cap3) serialized on TPU (~hundreds of ms at 97k cubes —
-    # minor-axis scatter is pathological).  Destination slots are unique and
-    # dense (0..3T-1 from the cumsum), so sorting the 15*M vertex slots by
-    # destination packs the output exactly; invalid slots carry a
-    # past-the-end key and sort to the tail, which is then re-zeroed.
     keys = []
     pays = []
     big = jnp.int32(1 << 30)
@@ -308,10 +337,37 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
             sel = sel + jnp.where(e == j, payload[:, j], 0.0)
         keys.append(jnp.where(has, (offs + k // 3) * 3 + (k % 3), big))
         pays.append(sel)
-    key = jnp.concatenate(keys)                      # (15M,)
-    pay = jnp.concatenate(pays, axis=1)              # (10, 15M)
+    emit_ovf = jnp.asarray(0, jnp.int32)
+    if spec.emit_block > 0:
+        B = spec.emit_block
+        smax = max(128, spec.emit_cap or EMIT_CAP_DEFAULT)
+        nblk = -(-M // B)
+        k15 = jnp.stack(keys)                        # (15, M)
+        p15 = jnp.stack(pays, axis=1)                # (10, 15, M)
+        padM = nblk * B - M
+        if padM:
+            k15 = jnp.pad(k15, ((0, 0), (0, padM)), constant_values=(1 << 30))
+            p15 = jnp.pad(p15, ((0, 0), (0, 0), (0, padM)))
+        # stage 1: per-block row sort compacts live rows to the front
+        k2 = k15.reshape(15, nblk, B).transpose(1, 0, 2).reshape(nblk, 15 * B)
+        p2 = p15.reshape(10, 15, nblk, B).transpose(0, 2, 1, 3).reshape(
+            10, nblk, 15 * B)
+        s1 = jax.lax.sort((k2,) + tuple(p2[a] for a in range(10)),
+                          num_keys=1, is_stable=False)
+        # overflow: live rows per block vs the static staging slice
+        inc = offs + ntris  # inclusive triangle cumsum
+        ends = jnp.minimum(jnp.arange(1, nblk + 1) * B, M) - 1
+        live_b = 3 * (inc[ends] - offs[jnp.arange(nblk) * B])
+        emit_ovf = jnp.maximum(jnp.max(live_b) - smax, 0).astype(jnp.int32)
+        # stage 2: short merge sort over the staged rows
+        scut = min(smax, 15 * B)
+        flat = [o[:, :scut].reshape(-1) for o in s1]
+        key, pay = flat[0], jnp.stack(flat[1:11])
+    else:
+        key = jnp.concatenate(keys)                  # (15M,)
+        pay = jnp.concatenate(pays, axis=1)          # (10, 15M)
     nslot = key.shape[0]
-    if nslot < cap3:  # tri capacity above the 5-per-cube hard max: pad
+    if nslot < cap3:  # tri capacity above the per-cube hard max: pad
         key = jnp.concatenate([key, jnp.full((cap3 - nslot,), big, jnp.int32)])
         pay = jnp.concatenate(
             [pay, jnp.zeros((10, cap3 - nslot), dtype)], axis=1
@@ -324,4 +380,4 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     # restore the zero-fill the scatter version guaranteed
     live = jnp.arange(cap3, dtype=jnp.int32) < total * 3
     out = jnp.where(live[None, :], out, 0.0)
-    return out[0:3], out[3:6], out[6:10], total
+    return out[0:3], out[3:6], out[6:10], total, emit_ovf

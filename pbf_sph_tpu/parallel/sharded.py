@@ -603,12 +603,12 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
                 node_offset=node_off, cell_offset=cell_off,
                 quirk_grid=spec.grid_global,
             )
-            vs, ns, cs, total = mc_ops.mc_extract(
+            vs, ns, cs, total, emit_ovf = mc_ops.mc_extract(
                 lat_v, lat_n, lat_c, min_extent, spec.grid_global.extent,
                 spec.surface, spec.h, scale, dyn["mc_isolevel"].astype(dtype),
                 node_offset=node_off,
             )
-            mesh_out = (vs, ns, cs, total)
+            mesh_out = (vs, ns, cs, total, emit_ovf)
 
         # drop ghosts
         ghost_mask = jnp.zeros((CT,), bool).at[CL:].set(True)[order]
@@ -693,6 +693,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             stats.update(
                 mesh_vs=mesh_out[0], mesh_ns=mesh_out[1], mesh_cs=mesh_out[2],
                 tri_count=mesh_out[3][None],
+                mc_emit_overflow=mesh_out[4][None],
             )
         return new_state, stats, new_bounds
 
@@ -719,7 +720,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     if spec.surface is not None:
         stats_specs.update(
             mesh_vs=P(None, AXIS), mesh_ns=P(None, AXIS), mesh_cs=P(None, AXIS),
-            tri_count=P(AXIS),
+            tri_count=P(AXIS), mc_emit_overflow=P(AXIS),
         )
 
     fn = jax.jit(jax.shard_map(

@@ -132,7 +132,7 @@ def main():
         lat_v, lat_n, lat_c, ovf = mcf(
             cell_table, cells, position, colour, ptype, alive, member,
             min_extent, dyn["mc_particle_size"].astype(dtype), scale, dtype)
-        vs, ns, cs, total = mc_ops.mc_extract(
+        vs, ns, cs, total, _eovf = mc_ops.mc_extract(
             lat_v, lat_n, lat_c, min_extent, spec.grid.extent, spec.surface,
             spec.h, scale, dyn["mc_isolevel"].astype(dtype))
         return vs, ns, cs, total
