@@ -64,8 +64,7 @@ def main() -> int:
         for _ in range(warmup):
             state, out = solver.step_device(spec, state, dyn, scn)
             occs.append(out["max_occupancy"])
-            if (int(out["strip_overflow"]) > 0
-                    or int(out.get("wcap_overflow", 0)) > 0):
+            if int(out["strip_overflow"]) > 0:
                 break  # stop the round early; state is already suspect
         # the growth policy is shared with JaxSolver.advance (models/growth.py);
         # judge the round on its peak occupancy, not just the last frame's

@@ -79,33 +79,12 @@ def growth_changes(spec, out) -> Dict[str, Any]:
             else:
                 changes["mc_pallas"] = False
 
-    # phase-kernel strip columns -> strip_capacity (v1) / v1 fallback (v2
-    # pinned at its VMEM-safe union-strip cap)
+    # phase-kernel strip columns -> strip_capacity
     strip_ovf = int(out.get("strip_overflow", 0))
     if strip_ovf > 0:
-        if spec.pallas_v2:
-            from pbf_sph_tpu.ops.pallas_pbf2 import grown_strip_capacity
-        else:
-            from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
+        from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
-        new_s = grown_strip_capacity(spec, strip_ovf)
-        if spec.pallas_v2 and new_s == spec.strip_capacity:
-            changes["pallas_v2"] = False
-            changes["strip_capacity"] = 0
-        else:
-            changes["strip_capacity"] = new_s
-
-    # v2 candidate-slab columns -> wcap / v1 fallback (pinned at WCAP_MAX)
-    wcap_ovf = int(out.get("wcap_overflow", 0))
-    if wcap_ovf > 0 and changes.get("pallas_v2", spec.pallas_v2):
-        from pbf_sph_tpu.ops.pallas_pbf2 import default_wcap, grown_wcap
-
-        cur_w = spec.wcap or default_wcap()
-        new_w = grown_wcap(cur_w, wcap_ovf)
-        if new_w == cur_w:
-            changes["pallas_v2"] = False
-        else:
-            changes["wcap"] = new_w
+        changes["strip_capacity"] = grown_strip_capacity(spec, strip_ovf)
 
     # query-cell population -> scene.query_capacity (reference semantics are
     # unbounded; round-2 missing #1)

@@ -82,22 +82,10 @@ class StepSpec:
     # Pallas strip-buffer capacity (columns); 0 = auto.  Grown on
     # strip_overflow like cell_capacity is grown on occupancy.
     strip_capacity: int = 0
-    # v2 compacted-candidate kernels (ops/pallas_pbf2.py): per-sub-block
-    # candidate slab capacity; 0 = auto.  Grown on wcap_overflow.
-    wcap: int = 0
     # Pallas MC node-kernel strip capacity (columns); 0 = derived from
     # strip_capacity.  Kept SEPARATE from strip_capacity so MC strip growth
-    # (which may exceed the v2 phase kernels' VMEM-safe STRIP_MAX) never
-    # resizes the phase-kernel scratch (round-2 ADVICE medium #2).
+    # never resizes the phase-kernel scratch (round-2 ADVICE medium #2).
     mc_strip_capacity: int = 0
-    # True selects the v2 compacted-candidate kernels (ops/pallas_pbf2.py).
-    # Measured at 1M (tools/bench_phases.py, round 2): v2's dense
-    # lambda/delta are faster than v1's strip-window kernels (34 vs 39
-    # ms/phase) but its per-iteration compaction (+25 ms) and per-frame plan
-    # overturn the win end-to-end (622 vs 482 ms/step), so v1 is the
-    # default production path and v2 stays as measured opt-in
-    # infrastructure.
-    pallas_v2: bool = False
     # Pallas MC field kernel: node blocks can span x-slab boundaries, where
     # strips may legitimately exceed any VMEM-safe capacity; when MC strip
     # overflow persists at the cap, fall back to the XLA field for this spec.
@@ -283,14 +271,11 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
     """Construct the Pallas phase pipelines for a static spec (shared by
     `build_step` and the per-phase timed path in `models/timed.py`).
 
-    Returns (phases, phases2, mc_field_pallas); all None when use_pallas is
-    False.  phases2 (the v2 compacted-candidate pipeline) is used when
-    spec.pallas_v2, else phases (the v1 strip-window pipeline)."""
+    Returns (phases, mc_field_pallas); both None when use_pallas is False."""
     phases = None
-    phases2 = None
     mc_field_pallas = None
     if not use_pallas:
-        return phases, phases2, mc_field_pallas
+        return phases, mc_field_pallas
 
     from pbf_sph_tpu.ops import pallas_pbf
 
@@ -302,20 +287,9 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
     )
     smax = min(-(-smax // 128) * 128, spec.capacity)
     interp = jax.default_backend() == "cpu"
-    if spec.pallas_v2:
-        from pbf_sph_tpu.ops import pallas_pbf2
-
-        # the compact-kernel scratch is only VMEM-safe up to STRIP_MAX; MC
-        # strip growth must never push the phase kernels past it
-        smax = min(smax, pallas_pbf2.STRIP_MAX)
-        wcap = spec.wcap or pallas_pbf2.default_wcap()
-        phases2 = pallas_pbf2.PallasPhases2(
-            spec.capacity, spec.grid, spec.h, smax, wcap, interpret=interp
-        )
-    else:
-        phases = pallas_pbf.PallasPhases(
-            spec.capacity, spec.grid, spec.h, smax, interpret=interp
-        )
+    phases = pallas_pbf.PallasPhases(
+        spec.capacity, spec.grid, spec.h, smax, interpret=interp
+    )
 
     if spec.surface is not None and spec.mc_pallas:
         from pbf_sph_tpu.ops.pallas_mc import MC_SMAX_CAP, PallasMcField
@@ -326,11 +300,11 @@ def make_phase_objects(spec: StepSpec, use_pallas: bool, strip_capacity: int = 0
             spec.capacity, spec.grid, spec.surface, spec.h, spec.scale,
             spec.surface.influence_static, mc_smax, interpret=interp,
         )
-    return phases, phases2, mc_field_pallas
+    return phases, mc_field_pallas
 
 
 def neighbour_phases(
-    phases, phases2, grid: GridSpec, K: int, h: float, iteration: int, dtype,
+    phases, grid: GridSpec, K: int, h: float, iteration: int, dtype,
     key, cell_table, cells, member,
     colour, pstar, mass, ptype, alive,
     dt, scale, min_bound, max_bound,
@@ -339,37 +313,19 @@ def neighbour_phases(
     """The diffuse + iterated lambda/delta pipeline, shared verbatim by the
     single-chip step and the shard_map'd local step.
 
-    Dispatches to the v2 compacted-candidate Pallas kernels (phases2), the v1
-    strip-window kernels (phases), or the XLA gather path (both None).
+    Dispatches to the Pallas strip-window kernels (phases) or the XLA gather
+    path (phases is None).
     refresh_lam / refresh_pstar are the multi-chip halo hooks: applied to lam
     right after each lambda phase (before it is compacted for delta) and to
     pstar right after each delta phase, so ghost rows carry their owners'
     values into the next use.  Single-chip passes None.
 
-    Returns (colour, pstar, strip_overflow, wcap_overflow)."""
+    Returns (colour, pstar, strip_overflow)."""
     rl = refresh_lam if refresh_lam is not None else (lambda x: x)
     rp = refresh_pstar if refresh_pstar is not None else (lambda x: x)
     strip_overflow = jnp.asarray(0, jnp.int32)
-    wcap_overflow = jnp.asarray(0, jnp.int32)
 
-    if phases2 is not None:
-        wins2, ovf2 = phases2.plan_frame(key, cell_table)
-        strip_overflow = ovf2["strip_overflow"]
-        wcap_overflow = ovf2["wcap_overflow"]
-        colour = phases2.diffuse(wins2, colour, cells, member, ptype, alive, dt)
-        for _ in range(iteration):
-            cands = phases2.compact_pstar(wins2, pstar, member)
-            lam = phases2.lambda_phase(
-                wins2, cands, pstar, mass, member, ptype, alive
-            )
-            lam = rl(lam)
-            lamc = phases2.compact_lam(wins2, lam)
-            pstar = phases2.delta_phase(
-                wins2, cands, lamc, pstar, lam, member, ptype, alive,
-                scale, min_bound, max_bound,
-            )
-            pstar = rp(pstar)
-    elif phases is not None:
+    if phases is not None:
         wins, strip_overflow = phases.plan_frame(key, cell_table)
         memberf = member.astype(dtype)
         colour = phases.diffuse(wins, colour, cells, memberf, ptype, alive, dt)
@@ -393,7 +349,7 @@ def neighbour_phases(
             )
             pstar = rp(pstar)
 
-    return colour, pstar, strip_overflow, wcap_overflow
+    return colour, pstar, strip_overflow
 
 
 def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0):
@@ -409,9 +365,7 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
     maxz = spec.grid.maxz
     K = spec.cell_capacity
 
-    phases, phases2, mc_field_pallas = make_phase_objects(
-        spec, use_pallas, strip_capacity
-    )
+    phases, mc_field_pallas = make_phase_objects(spec, use_pallas, strip_capacity)
 
     def step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
         h = spec.h
@@ -494,8 +448,8 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
 
         # 8-9. colour diffusion + constraint solve (pipeline shared with the
         # shard_map'd local step, which adds halo-refresh hooks)
-        colour, pstar, strip_overflow, wcap_overflow = neighbour_phases(
-            phases, phases2, spec.grid, K, h, spec.iteration, dtype,
+        colour, pstar, strip_overflow = neighbour_phases(
+            phases, spec.grid, K, h, spec.iteration, dtype,
             key, cell_table, cells, member,
             state.colour, pstar, state.mass, state.ptype, state.alive,
             dt, scale, min_bound, max_bound,
@@ -512,7 +466,6 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
             spawn_dropped=spawn_dropped,
             extent_ok=extent_ok,
             strip_overflow=strip_overflow,
-            wcap_overflow=wcap_overflow,
             mc_strip_overflow=jnp.asarray(0, jnp.int32),
             query_ids=q_ids,
             query_counts=q_counts,

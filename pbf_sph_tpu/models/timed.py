@@ -56,8 +56,8 @@ def _build_stages(spec: StepSpec, use_pallas: bool) -> Dict[str, Any]:
     h = spec.h
     scale = jnp.asarray(spec.scale, dtype)
     K = spec.cell_capacity
-    phases, phases2, mc_field_pallas = make_phase_objects(spec, use_pallas)
-    st: Dict[str, Any] = {"kind": "v2" if phases2 is not None else ("v1" if phases is not None else "xla")}
+    phases, mc_field_pallas = make_phase_objects(spec, use_pallas)
+    st: Dict[str, Any] = {"kind": "v1" if phases is not None else "xla"}
 
     @jax.jit
     def sources_drains(state, scn):
@@ -106,29 +106,7 @@ def _build_stages(spec: StepSpec, use_pallas: bool) -> Dict[str, Any]:
     )
     st["decode"] = jax.jit(lambda k: decode_key(k, spec.grid))
 
-    if phases2 is not None:
-        st["plan"] = jax.jit(lambda k, t: phases2.plan_frame(k, t)[0])
-        st["diffuse"] = jax.jit(
-            lambda wins, state, cells, member, dyn: phases2.diffuse(
-                wins, state.colour, cells, member, state.ptype, state.alive,
-                dyn["dt"].astype(dtype),
-            )
-        )
-
-        @jax.jit
-        def iter_stage(wins, pstar, state, member, dyn):
-            cands = phases2.compact_pstar(wins, pstar, member)
-            lam = phases2.lambda_phase(
-                wins, cands, pstar, state.mass, member, state.ptype, state.alive
-            )
-            lamc = phases2.compact_lam(wins, lam)
-            return phases2.delta_phase(
-                wins, cands, lamc, pstar, lam, member, state.ptype, state.alive,
-                scale, dyn["min_bound"].astype(dtype), dyn["max_bound"].astype(dtype),
-            )
-
-        st["iter"] = iter_stage
-    elif phases is not None:
+    if phases is not None:
         st["plan"] = jax.jit(lambda k, t: phases.plan_frame(k, t)[0])
         st["diffuse"] = jax.jit(
             lambda wins, state, cells, memberf, dyn: phases.diffuse(
@@ -263,15 +241,7 @@ def advance_timed(
     cells, member = stages["decode"](key)
 
     kind = stages["kind"]
-    if kind == "v2":
-        stop = watch.start("\t[TPU] plan-compact")
-        wins = sync(stages["plan"](key, cell_table))
-        stop()
-        stop = watch.start("\t[TPU] sph-diffuse ")
-        colour = sync(stages["diffuse"](wins, state, cells, member, dyn))
-        stop()
-        iter_args = lambda ps: (wins, ps, state, member, dyn)
-    elif kind == "v1":
+    if kind == "v1":
         stop = watch.start("\t[TPU] plan-windows")
         wins = sync(stages["plan"](key, cell_table))
         stop()

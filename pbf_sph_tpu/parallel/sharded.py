@@ -62,14 +62,10 @@ class ShardSpec:
     cell_capacity: int
     dtype: str = "float32"
     scene: SceneSpec = SceneSpec()
-    # run the Pallas phase pipeline in the local step (the production v1
-    # strip-window kernels by default; pallas_v2=True opts into the v2
-    # compacted-candidate pipeline, mirroring StepSpec.pallas_v2).
+    # run the Pallas strip-window phase pipeline in the local step;
     # False = the XLA gather phases.
     use_pallas: bool = False
-    pallas_v2: bool = False
     strip_capacity: int = 0
-    wcap: int = 0  # v2 candidate-slab capacity (used only with pallas_v2)
     # initial-bounds min x (world space); used only by distribute_particles
     min_bound_x: float = 0.0
     # LOCAL marching-cubes spec (slab_w*res+1 node columns); None = no surface
@@ -159,7 +155,7 @@ class ShardSpec:
     def create(config, n_dev: int, count: int, h: float,
                cell_capacity: int = 48, dtype: str = "float32",
                cap_local: int = 0, scene: Scene = None,
-               use_pallas: bool = False, pallas_v2: bool = False,
+               use_pallas: bool = False,
                rebalance: bool = False, ghost_cap: int = 0,
                min_slab_w: int = 3) -> "ShardSpec":
         grid = GridSpec.from_bounds(config.min_bound, config.max_bound, config.scale, h)
@@ -209,7 +205,7 @@ class ShardSpec:
         )
         if use_pallas:
             # the Pallas pipeline blocks the local array into 1024-row blocks
-            from pbf_sph_tpu.ops.pallas_pbf2 import BLK
+            from pbf_sph_tpu.ops.pallas_pbf import BLK
 
             total = cap_local + 2 * ghost_cap
             cap_local += -(-total // BLK) * BLK - total
@@ -245,7 +241,6 @@ class ShardSpec:
             dtype=dtype,
             scene=sspec,
             use_pallas=use_pallas,
-            pallas_v2=pallas_v2,
             min_bound_x=float(np.asarray(config.min_bound, np.float32)[0]),
             surface=surface,
             rebalance=rebalance,
@@ -343,10 +338,9 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     local_spec = StepSpec(
         capacity=CT, cell_capacity=K, grid=lgrid, h=spec.h, scale=spec.scale,
         iteration=spec.iteration, dtype=spec.dtype, scene=spec.scene,
-        surface=None, strip_capacity=spec.strip_capacity, wcap=spec.wcap,
-        pallas_v2=spec.pallas_v2, mc_pallas=False,
+        surface=None, strip_capacity=spec.strip_capacity, mc_pallas=False,
     )
-    phases, phases2, _mc = make_phase_objects(local_spec, spec.use_pallas)
+    phases, _mc = make_phase_objects(local_spec, spec.use_pallas)
 
     def local_step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any],
                    bounds):
@@ -573,8 +567,8 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         def refresh_pstar(ps):
             return jnp.stack([refresh(ps[a]) for a in range(3)])
 
-        colour, pstar, strip_ovf, wcap_ovf = neighbour_phases(
-            phases, phases2, lgrid, K, h, spec.iteration, dtype,
+        colour, pstar, strip_ovf = neighbour_phases(
+            phases, lgrid, K, h, spec.iteration, dtype,
             key, cell_table, cells_l, member,
             colour, pstar, mass, ptype, alive,
             dt, scale, min_bound, max_bound,
@@ -684,7 +678,6 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             ).astype(jnp.int32)[None],
             spawn_dropped=(jnp.asarray(total_spawn, jnp.int32) - spawned)[None],
             strip_overflow=strip_ovf[None],
-            wcap_overflow=wcap_ovf[None],
             query_overflow=q_overflow[None],
             query_ids=q_ids,
             query_counts=q_counts,
@@ -714,7 +707,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
     stats_specs = dict(
         alive_count=P(AXIS), migrate_dropped=P(AXIS), migrate_deferred=P(AXIS),
         ghost_dropped=P(AXIS), ghost_peak=P(AXIS),
-        spawn_dropped=P(AXIS), strip_overflow=P(AXIS), wcap_overflow=P(AXIS),
+        spawn_dropped=P(AXIS), strip_overflow=P(AXIS),
         query_overflow=P(AXIS), query_ids=P(), query_counts=P(),
     )
     if spec.surface is not None:

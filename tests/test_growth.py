@@ -1,8 +1,8 @@
-"""Capacity-growth paths: strip/wcap overflow must grow and re-run the frame
+"""Capacity-growth paths: strip overflow must grow and re-run the frame
 (VERDICT round-1 weak #3: the overflow paths were never exercised in CI).
 
-Runs the pallas backend in interpret mode with artificially tiny strip/wcap
-capacities so the first frame overflows; `advance()` must converge via its
+Runs the pallas backend in interpret mode with an artificially tiny strip
+capacity so the first frame overflows; `advance()` must converge via its
 growth loop and produce the same state as an unconstrained run.
 """
 
@@ -17,32 +17,28 @@ from pbf_sph_tpu.models.jax_solver import JaxSolver
 
 
 class TinyCapSolver(JaxSolver):
-    """Forces a tiny initial strip/wcap so the first frame overflows."""
+    """Forces a tiny initial strip capacity so the first frame overflows."""
 
-    def __init__(self, strip0: int, wcap0: int, **kw):
+    def __init__(self, strip0: int, **kw):
         super().__init__(use_pallas=True, **kw)
         self._strip0 = strip0
-        self._wcap0 = wcap0
 
     def make_spec(self, *a, **kw):
         spec = super().make_spec(*a, **kw)
-        # pallas_v2=True so the wcap growth path is exercised end-to-end
-        return dataclasses.replace(
-            spec, strip_capacity=self._strip0, wcap=self._wcap0, pallas_v2=True
-        )
+        return dataclasses.replace(spec, strip_capacity=self._strip0)
 
 
 @pytest.mark.slow
-def test_strip_and_wcap_overflow_growth():
+def test_strip_overflow_growth():
     mc, cfg, xs = dam_break(400, solver_iter=1)
 
     ref = JaxSolver(use_pallas=True, h=cfg.h)
     _, xs_ref = ref.advance(cfg, Scene(), xs)
 
-    tiny = TinyCapSolver(strip0=1024, wcap0=1024, h=cfg.h)
-    # sanity: the tiny capacities really do overflow on frame one
+    tiny = TinyCapSolver(strip0=1024, h=cfg.h)
+    # sanity: the tiny capacity really does overflow on frame one
     spec = tiny.make_spec(cfg, Scene(), capacity=1024)
-    assert spec.strip_capacity == 1024 and spec.wcap == 1024
+    assert spec.strip_capacity == 1024
     _, xs_tiny = tiny.advance(cfg, Scene(), xs)
 
     a = xs_tiny.order_by_id()
@@ -52,49 +48,20 @@ def test_strip_and_wcap_overflow_growth():
     np.testing.assert_allclose(a.velocity, b.velocity, atol=1e-2, rtol=0)
 
 
-def test_growth_caps_pin():
-    """Growth functions pin at the VMEM-safe caps (the advance()/bench
-    growth loops key the v1 fallback on an unchanged capacity)."""
-    from pbf_sph_tpu.ops import pallas_pbf2 as p2
-
-    assert p2.grown_wcap(p2.WCAP_MAX, 1) == p2.WCAP_MAX
-    assert p2.grown_wcap(p2.WCAP_MAX - 512, 1) > p2.WCAP_MAX - 512
+def test_growth_strip_capacity_monotone():
+    """grown_strip_capacity always strictly exceeds the overflowed capacity
+    (up to the whole-array cap), so the advance() growth loop terminates."""
+    from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
     class SpecLike:
-        strip_capacity = p2.STRIP_MAX
+        strip_capacity = 8192
         capacity = 1 << 22
 
         class grid:
             dims = (88, 88, 88)
 
-    assert p2.grown_strip_capacity(SpecLike(), 4096) == p2.STRIP_MAX
-
-
-def test_query_overflow_grows_capacity():
-    """A query cell holding more particles than query_capacity must grow and
-    return the FULL id set — mirroring the reference's unbounded
-    std::vector result (`src/omp/ompsph.hpp:167-186`; round-2 missing #1:
-    the jitted path used to truncate silently at 128)."""
-    from pbf_sph_tpu.core.scene import simple_config_with_2_cubes
-    from pbf_sph_tpu.core.types import ParticleSoA, Query
-
-    _, cfg, _ = simple_config_with_2_cubes(100, 1, 500.0)
-    n = 160  # > default query_capacity of 128, all inside ONE grid cell
-    rng = np.random.default_rng(0)
-    # cell size = h*scale = 50 world units; min_extent puts a cell boundary
-    # grid at world 50k (k int), so [505, 545]^3 sits inside one cell
-    pos = rng.uniform(505.0, 545.0, size=(n, 3)).astype(np.float32)
-    xs = ParticleSoA(
-        pid=np.arange(n, dtype=np.int32),
-        ptype=np.zeros(n, np.int32),
-        mass=np.ones(n, np.float32),
-        position=pos,
-        velocity=np.zeros((n, 3), np.float32),
-        colour=np.ones((n, 4), np.float32),
-    )
-    scene = Scene(queries=[Query(id=9, point=(520.0, 520.0, 520.0))])
-    solver = JaxSolver(h=cfg.h)
-    res, _ = solver.advance(cfg, scene, xs)
-    assert len(res.queries) == 1
-    got = set(res.queries[0].neighbours.tolist())
-    assert got == set(range(n))
+    s = SpecLike()
+    g = grown_strip_capacity(s, 512)
+    assert g > s.strip_capacity
+    s.strip_capacity = s.capacity - 128
+    assert grown_strip_capacity(s, 4096) == s.capacity

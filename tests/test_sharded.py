@@ -112,14 +112,13 @@ def test_sharded_scene_dynamics_matches_single():
 @pytest.mark.slow
 def test_sharded_pallas_matches_single():
     """The shard_map'd local step running the Pallas phase pipeline (the
-    production v1 strip-window kernels, interpret mode on the CPU mesh)
+    production strip-window kernels, interpret mode on the CPU mesh)
     matches the single-chip XLA run — multi-chip capability on the
     production kernels, not just the gather path (round-1 VERDICT weak
-    #2).  ShardSpec(pallas_v2=True) selects the v2 pipeline instead."""
+    #2)."""
     mc, cfg, particles = dam_break(800, solver_iter=2)
     xs_m, stats = run_sharded(cfg, particles, 2, frames=1, use_pallas=True)
     assert stats["strip_overflow"].max() == 0
-    assert stats["wcap_overflow"].max() == 0
     xs_s = run_single(cfg, particles, frames=1)
     assert len(xs_m) == len(xs_s)
     a = xs_m.order_by_id()

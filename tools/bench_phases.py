@@ -115,11 +115,13 @@ def main():
     timed(f_table, key, label="cell table")
 
     if which in ("v2", "both"):
-        from pbf_sph_tpu.ops import pallas_pbf2 as p2
+        # the v2 pipeline is retired from production (round 4); the module
+        # lives in tools/ for ablation runs of this script only
+        import pallas_pbf2 as p2
 
         smax = max(8192, -(-(spec.grid.dims[2] * 48 * 2) // 128) * 128)
         smax = min(-(-smax // 128) * 128, spec.capacity)
-        wcap = spec.wcap or p2.default_wcap()
+        wcap = p2.default_wcap()
         ph2 = p2.PallasPhases2(spec.capacity, spec.grid, h, smax, wcap)
 
         f_plan2 = jax.jit(lambda key, table: ph2.plan_frame(key, table))

@@ -85,18 +85,15 @@ def main():
         ovf = 0
         for _ in range(5):
             state, out = solver.step_device(spec, state, dyn0, scn)
-            ovf = max(ovf, int(out["strip_overflow"]), int(out.get("wcap_overflow", 0)))
+            ovf = max(ovf, int(out["strip_overflow"]))
         changes = {}
         occ = int(out["max_occupancy"])
         if occ > spec.cell_capacity:
             changes["cell_capacity"] = -(-occ // 16) * 16 + 16
         if ovf > 0:
-            from pbf_sph_tpu.ops.pallas_pbf2 import (
-                default_wcap, grown_strip_capacity, grown_wcap,
-            )
+            from pbf_sph_tpu.ops.pallas_pbf import grown_strip_capacity
 
             changes["strip_capacity"] = grown_strip_capacity(spec, ovf)
-            changes["wcap"] = grown_wcap(spec.wcap or default_wcap(), ovf)
         if not changes:
             break
         print(f"# growing {changes}", file=sys.stderr)

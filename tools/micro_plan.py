@@ -10,7 +10,7 @@ from pbf_sph_tpu.core.types import Scene
 from pbf_sph_tpu.models import make_solver
 from pbf_sph_tpu.models.jax_solver import dyn_params_of
 from pbf_sph_tpu.ops.grid import build_cell_table, cell_coords, decode_key, sort_key
-from pbf_sph_tpu.ops import pallas_pbf2 as p2
+import pallas_pbf2 as p2  # retired from production (round 4); lives in tools/
 
 def sync(x):
     leaf = jax.tree_util.tree_leaves(x)[0]

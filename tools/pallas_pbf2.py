@@ -1,4 +1,10 @@
-"""Pallas TPU kernels v2: compacted-candidate diffuse/lambda/delta phases.
+"""RETIRED from production (round 4, VERDICT #7): the v2 compacted-candidate
+pipeline is measured-slower end-to-end than the v1 strip-window kernels
+(622 vs 482 ms/step at 1M; its durable finding — r2-space/rsqrt pair math —
+is upstreamed into ops/pallas_pbf.py).  Kept under tools/ for ablation runs
+via tools/bench_phases.py --which v2; no production path dispatches here.
+
+Pallas TPU kernels v2: compacted-candidate diffuse/lambda/delta phases.
 
 Round-1 profile (BENCHMARKS.md): the 13 neighbour-phase dispatches dominate
 the frame (~420 of 482 ms/step at 1M) and are VPU-instruction-bound.  Two
