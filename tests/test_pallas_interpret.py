@@ -47,7 +47,7 @@ def test_pallas_overlapping_windows_interpret():
     ps = JaxSolver(h=cfg.h, use_pallas=True)
     spec, state, scn = ps.prepare(cfg, Scene(), xs)
     dyn = dyn_params_of(cfg, ps.dtype)
-    phases, _, _ = make_phase_objects(spec, True)
+    phases, _ = make_phase_objects(spec, True)
     grid, h, C = spec.grid, spec.h, spec.capacity
     scale = cfg.scale
 

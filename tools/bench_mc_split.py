@@ -74,7 +74,7 @@ def main():
     spec_ns = dataclasses.replace(spec, surface=None)
     t_ns = timed_step(spec_ns, "solver-only step", state)
 
-    _, _, mcf = make_phase_objects(spec, True)
+    _, mcf = make_phase_objects(spec, True)
     dtype = jnp.dtype(spec.dtype)
 
     def sorted_inputs(state, dyn, scn):

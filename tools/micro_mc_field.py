@@ -97,7 +97,7 @@ def main():
         state, out = solver.step_device(spec, state, dyn, scn)
     sync(out["alive_count"])
 
-    _, _, mcf = make_phase_objects(spec, True)
+    _, mcf = make_phase_objects(spec, True)
     dtype = jnp.dtype(spec.dtype)
 
     # production inputs from the settled state (mirror PallasMcField.__call__)
