@@ -105,11 +105,12 @@ def disjoint_windows(lo, hi):
     return jnp.stack(los, axis=-1), jnp.stack(his, axis=-1)
 
 
-def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: int):
+def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: int,
+                 sub: int = SUB):
     """Per-block strip starts + per-sub-block window bounds (XLA precompute,
     once per frame, shared by all phases).
 
-    Returns (sstart (nblocks,3) int32, wins (nblocks,NSUB,9,2) int32, overflow).
+    Returns (sstart (nblocks,3) int32, wins (nblocks,nsub_b,9,2) int32, overflow).
     `wins[...,0/1]` are window [lo, hi) offsets *relative* to the dx-strip
     start; `overflow` > 0 means smax must grow (re-specialize).
 
@@ -125,7 +126,8 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
     C = capacity
     assert C % BLK == 0
     nblocks = C // BLK
-    nsub = C // SUB
+    nsub_b = BLK // sub
+    nsub = C // sub
     ncells = grid.ncells
     nx, ny, nz = grid.dims
     nynz = ny * nz
@@ -134,12 +136,12 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
     member_count = cell_table[ncells]
     last_valid = lin[jnp.maximum(member_count - 1, 0)]
     lin = jnp.minimum(lin, last_valid)
-    cmin = lin[0::SUB]  # (nsub,)
-    cmax = lin[SUB - 1 :: SUB]
+    cmin = lin[0::sub]  # (nsub,)
+    cmax = lin[sub - 1 :: sub]
 
     # dx-strip extents per *block*
-    cmin_b = cmin.reshape(nblocks, NSUB)[:, 0]
-    cmax_b = cmax.reshape(nblocks, NSUB)[:, -1]
+    cmin_b = cmin.reshape(nblocks, nsub_b)[:, 0]
+    cmax_b = cmax.reshape(nblocks, nsub_b)[:, -1]
     sstarts = []
     for dx in (-1, 0, 1):
         lo_cell = jnp.clip(cmin_b + dx * nynz - nz - 1, 0, ncells)
@@ -158,8 +160,8 @@ def plan_windows(sorted_key, cell_table, grid: GridSpec, capacity: int, smax: in
         hi_cell = jnp.clip(cmax + off + 2, 0, ncells)
         los.append(cell_table[lo_cell])
         his.append(cell_table[hi_cell])
-    lo = jnp.stack(los, axis=1).reshape(nblocks, NSUB, 9)
-    hi = jnp.stack(his, axis=1).reshape(nblocks, NSUB, 9)
+    lo = jnp.stack(los, axis=1).reshape(nblocks, nsub_b, 9)
+    hi = jnp.stack(his, axis=1).reshape(nblocks, nsub_b, 9)
     lo, hi = disjoint_windows(lo, hi)
     strip_of = jnp.asarray([s // 3 for s in range(9)], jnp.int32)
     base = jnp.take(sstart, strip_of, axis=1)[:, None, :]  # (nblocks,1,9)
@@ -346,8 +348,48 @@ def _window_loop(wins, sbuf, slot, t, s, compute_chunk, carry,
 # ---------------------------------------------------------------------------
 
 
+def _centred_r2_mxu(axc, ayc, azc, a2, bx, by, bz, cx, cy, cz, sub):
+    """Centred-coordinate r2 for all (row, lane) pairs as ONE K=8 MXU matmul
+    (round-3 precision study, tools/precision_centered.py variant B: the
+    sub-block-centroid translation shrinks the |a||b| cancellation term
+    ~700x, making the matmul r2 match per-pair fp32; the further-factored
+    gradient loses 200x and stays rejected).
+
+    MEASURED AND REJECTED for production (round 4,
+    tools/bench_kernel_variants.py on the real chip, 1M settled state):
+    mxu=1 lambda is 55.8 ms vs 25.3 ms for the per-pair VPU baseline at
+    sub=64 (2.2x slower; same ratio at sub=32/16).  The K=8
+    HIGHEST-precision matmul uses 8/256 of the systolic depth, and the
+    post-r2 per-slot VPU work (relu/rsqrt/kernel polys) remains the real
+    cost — r2 itself was never the bottleneck.  Kept (with the `mxu` flag)
+    so the rejection stays reproducible; production runs mxu=False.
+
+    Returns (r2, bxc, byc, bzc) — the centred candidate coords are reused by
+    the per-pair gradient (axc - bxc == ax - bx exactly in fp32 only when
+    both are materialized; they are)."""
+    bxc = bx - cx
+    byc = by - cy
+    bzc = bz - cz
+    b2 = bxc * bxc + byc * byc + bzc * bzc
+    one = jnp.ones((1, WCOL), jnp.float32)
+    zero = jnp.zeros((1, WCOL), jnp.float32)
+    B = jnp.concatenate(
+        [-2.0 * bxc, -2.0 * byc, -2.0 * bzc, one, b2, zero, zero, zero], axis=0
+    )  # (8, WCOL)
+    A = jnp.concatenate(
+        [axc, ayc, azc, a2, jnp.ones((sub, 1), jnp.float32),
+         jnp.zeros((sub, 3), jnp.float32)], axis=1
+    )  # (sub, 8)
+    r2 = jax.lax.dot_general(
+        A, B, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return r2, bxc, byc, bzc
+
+
 def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpec,
-                     interpret=False):
+                     interpret=False, mxu: bool = False):
     """rho_i = m_i sum poly6; lambda_i = -(rho/RHO-1)/(|gradC/RHO|^2 + CFM)
     (reference `src/ocl/oclsph_kernel.h:95-123`).
 
@@ -363,33 +405,53 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
     exactly zero there; blanked lanes are ~1e9 away.  This drops the cl
     field load and the mask/select ops from the hot loop (was the round-2
     |cl_b - (cl_a + off_s)| <= 1 test).  Pair math is the r2-space/rsqrt
-    restructure validated by the v2 kernels (pallas_pbf2.py docstring):
-    (h-r)^2/r = relu(h - r2*u)^2 * u with u = rsqrt(max(r2, EPS^2)); the
-    self pair contributes 0 to gradients via dx=dy=dz=0, and r <= h needs no
-    test (relu).
+    restructure: (h-r)^2/r = relu(h - r2*u)^2 * u with u = rsqrt(max(r2,
+    EPS^2)); the self pair contributes 0 to gradients via dx=dy=dz=0, and
+    r <= h needs no test (relu).
 
-    Accumulation stays in (SUB, WCOL) tiles across all strips/chunks and is
+    mxu=True computes the per-chunk r2 block on the MXU via the centred K=8
+    matmul (precision proven equal to per-pair fp32); the gradient stays
+    per-pair.
+
+    Accumulation stays in (sub, WCOL) tiles across all strips/chunks and is
     reduced once per sub-block (cross-lane reductions are ~7 shuffle ops)."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
     hf = np.float32(h)
     eps2 = np.float32(K.EPSILON) * np.float32(K.EPSILON)
+    sub = plan.sub
 
     def body(wins, rows, sbuf, slot, out, t):
-        ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        ax = rows[0, pl.ds(t * sub, sub)].reshape(sub, 1)
+        ay = rows[1, pl.ds(t * sub, sub)].reshape(sub, 1)
+        az = rows[2, pl.ds(t * sub, sub)].reshape(sub, 1)
+        if mxu:
+            cx = jnp.mean(ax)
+            cy = jnp.mean(ay)
+            cz = jnp.mean(az)
+            axc = ax - cx
+            ayc = ay - cy
+            azc = az - cz
+            a2 = axc * axc + ayc * ayc + azc * azc
 
         def chunk(slot_, strip, o, lo, hi, carry):
             p6s, gx, gy, gz = carry
             bx = sbuf[slot_, strip, 0, pl.ds(o, WCOL)].reshape(1, WCOL)
             by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
             bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
-            dx = ax - bx
-            dy = ay - by
-            dz = az - bz
-            r2 = dx * dx + dy * dy + dz * dz
+            if mxu:
+                r2, bxc, byc, bzc = _centred_r2_mxu(
+                    axc, ayc, azc, a2, bx, by, bz, cx, cy, cz, sub
+                )
+                dx = axc - bxc
+                dy = ayc - byc
+                dz = azc - bzc
+            else:
+                dx = ax - bx
+                dy = ay - by
+                dz = az - bz
+                r2 = dx * dx + dy * dy + dz * dz
             d2p = jnp.maximum(hh - r2, 0.0)
             p6 = d2p * d2p * d2p
             r2c = jnp.maximum(r2, eps2)
@@ -398,7 +460,7 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
             sg = tt * tt * u
             return (p6s + p6, gx + dx * sg, gy + dy * sg, gz + dz * sg)
 
-        zero = jnp.zeros((SUB, WCOL), jnp.float32)
+        zero = jnp.zeros((sub, WCOL), jnp.float32)
         carry = (zero, zero, zero, zero)
         for s in range(9):
             carry = _window_loop(wins, sbuf, slot, t, s, chunk,
@@ -407,15 +469,15 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
         gx = jnp.sum(carry[1], axis=1, keepdims=True)
         gy = jnp.sum(carry[2], axis=1, keepdims=True)
         gz = jnp.sum(carry[3], axis=1, keepdims=True)
-        mass = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        mass = rows[3, pl.ds(t * sub, sub)].reshape(sub, 1)
+        memberf = rows[4, pl.ds(t * sub, sub)].reshape(sub, 1)
         rho = mass * (p6s * p6f) * memberf
         rr = np.float32(K.RHO_RECIP)
         c = skf * rr * memberf
         norm2 = (gx * c) ** 2 + (gy * c) ** 2 + (gz * c) ** 2
         ci = rho * rr - 1.0
         lam = -ci / (norm2 + np.float32(K.CFM_EPSILON))
-        out[0, pl.ds(t * SUB, SUB)] = lam.reshape(SUB)
+        out[0, pl.ds(t * sub, sub)] = lam.reshape(sub)
 
     return _phase_pallas(body, nfields=4, nout=1, plan=plan, capacity=capacity,
                          interpret=interpret, rows_nfields=5)
@@ -427,7 +489,7 @@ def make_lambda_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSp
 
 
 def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpec,
-                    interpret=False):
+                    interpret=False, mxu: bool = False):
     """dp_i = sum spiky_grad * (lam_i + lam_j + s_corr)/RHO
     (reference `src/ocl/oclsph_kernel.h:125-151`; the bounds clamp is applied
     by the XLA caller).
@@ -435,7 +497,7 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
     Candidate fields (4, C): [psx, psy, psz, lam], positions blanked to 1e9
     for non-member lanes (pure-geometry masking + tile accumulation like the
     lambda kernel; blam of a blanked lane is finite and multiplied by
-    sg == 0)."""
+    sg == 0).  mxu=True: centred-r2 MXU matmul as in the lambda kernel."""
     p6f = np.float32(poly6_factor(h))
     skf = np.float32(spiky_kernel_factor(h))
     hh = np.float32(h * h)
@@ -446,12 +508,21 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
     xqf = np.float32(p6f / p6dq)
     corr_k = np.float32(-K.CORR_K)
     rr = np.float32(K.RHO_RECIP)
+    sub = plan.sub
 
     def body(wins, rows, sbuf, slot, out, t):
-        ax = rows[0, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        ay = rows[1, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        az = rows[2, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        alam = rows[3, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        ax = rows[0, pl.ds(t * sub, sub)].reshape(sub, 1)
+        ay = rows[1, pl.ds(t * sub, sub)].reshape(sub, 1)
+        az = rows[2, pl.ds(t * sub, sub)].reshape(sub, 1)
+        alam = rows[3, pl.ds(t * sub, sub)].reshape(sub, 1)
+        if mxu:
+            cx = jnp.mean(ax)
+            cy = jnp.mean(ay)
+            cz = jnp.mean(az)
+            axc = ax - cx
+            ayc = ay - cy
+            azc = az - cz
+            a2 = axc * axc + ayc * ayc + azc * azc
 
         def chunk(slot_, strip, o, lo, hi, carry):
             dxs, dys, dzs = carry
@@ -459,10 +530,18 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
             by = sbuf[slot_, strip, 1, pl.ds(o, WCOL)].reshape(1, WCOL)
             bz = sbuf[slot_, strip, 2, pl.ds(o, WCOL)].reshape(1, WCOL)
             blam = sbuf[slot_, strip, 3, pl.ds(o, WCOL)].reshape(1, WCOL)
-            dx = ax - bx
-            dy = ay - by
-            dz = az - bz
-            r2 = dx * dx + dy * dy + dz * dz
+            if mxu:
+                r2, bxc, byc, bzc = _centred_r2_mxu(
+                    axc, ayc, azc, a2, bx, by, bz, cx, cy, cz, sub
+                )
+                dx = axc - bxc
+                dy = ayc - byc
+                dz = azc - bzc
+            else:
+                dx = ax - bx
+                dy = ay - by
+                dz = az - bz
+                r2 = dx * dx + dy * dy + dz * dz
             d2p = jnp.maximum(hh - r2, 0.0)
             xq = d2p * d2p * d2p * xqf
             x2 = xq * xq
@@ -474,18 +553,18 @@ def make_delta_call(plan: PallasPlanSpec, capacity: int, h: float, grid: GridSpe
             sg = (skf * (tt * tt) * u) * factor
             return (dxs + dx * sg, dys + dy * sg, dzs + dz * sg)
 
-        zero = jnp.zeros((SUB, WCOL), jnp.float32)
+        zero = jnp.zeros((sub, WCOL), jnp.float32)
         carry = (zero, zero, zero)
         for s in range(9):
             carry = _window_loop(wins, sbuf, slot, t, s, chunk,
                                  carry, uncond_smax=plan.smax)
-        memberf = rows[4, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        memberf = rows[4, pl.ds(t * sub, sub)].reshape(sub, 1)
         dxs = jnp.sum(carry[0], axis=1, keepdims=True) * memberf
         dys = jnp.sum(carry[1], axis=1, keepdims=True) * memberf
         dzs = jnp.sum(carry[2], axis=1, keepdims=True) * memberf
-        out[0, pl.ds(t * SUB, SUB)] = dxs.reshape(SUB)
-        out[1, pl.ds(t * SUB, SUB)] = dys.reshape(SUB)
-        out[2, pl.ds(t * SUB, SUB)] = dzs.reshape(SUB)
+        out[0, pl.ds(t * sub, sub)] = dxs.reshape(sub)
+        out[1, pl.ds(t * sub, sub)] = dys.reshape(sub)
+        out[2, pl.ds(t * sub, sub)] = dzs.reshape(sub)
 
     return _phase_pallas(body, nfields=4, nout=3, plan=plan, capacity=capacity,
                          interpret=interpret, rows_nfields=5)
@@ -511,16 +590,17 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
     Packed fields (8, C): [cr, cg, cb, ca, nonobs, fx, fy, fz] with fx
     blanked to -1e9 for non-member lanes.
     Output (8, C): [sum_r, sum_g, sum_b, sum_a, count, pad x3]."""
+    sub = plan.sub
 
     def body(wins, rows, sbuf, slot, out, t):
-        afx = rows[5, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afy = rows[6, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
-        afz = rows[7, pl.ds(t * SUB, SUB)].reshape(SUB, 1)
+        afx = rows[5, pl.ds(t * sub, sub)].reshape(sub, 1)
+        afy = rows[6, pl.ds(t * sub, sub)].reshape(sub, 1)
+        afz = rows[7, pl.ds(t * sub, sub)].reshape(sub, 1)
 
-        # accumulate in (SUB, WCOL) tiles like the lambda/delta kernels —
+        # accumulate in (sub, WCOL) tiles like the lambda/delta kernels —
         # cross-lane reductions are ~7 shuffle ops each and the old per-chunk
         # 5x jnp.sum dominated the chunk body; reduce once per sub-block
-        zero = jnp.zeros((SUB, WCOL), jnp.float32)
+        zero = jnp.zeros((sub, WCOL), jnp.float32)
         carry = (zero, zero, zero, zero, zero)
 
         def chunk(slot_, strip, o, lo, hi, carry):
@@ -551,7 +631,7 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
             carry = _window_loop(wins, sbuf, slot, t, s, chunk, carry,
                                  uncond_smax=plan.smax)
         for a, tile in enumerate(carry):
-            out[a, pl.ds(t * SUB, SUB)] = jnp.sum(tile, axis=1)
+            out[a, pl.ds(t * sub, sub)] = jnp.sum(tile, axis=1)
 
 
     return _phase_pallas(body, nfields=8, nout=8, plan=plan, capacity=capacity,
@@ -564,25 +644,41 @@ def make_diffuse_call(plan: PallasPlanSpec, capacity: int, grid: GridSpec,
 
 
 class PallasPhases:
-    """Per-spec factory for the three Pallas phase callables."""
+    """Per-spec factory for the three Pallas phase callables.
+
+    `sub` is the rows-per-sub-block granularity (rows sharing one set of
+    stencil windows): smaller sub = tighter windows (fewer candidate chunks
+    per row) but more sub-block loop/reduce overhead.  `mxu` routes the
+    per-chunk r2 block of lambda/delta through the centred K=8 MXU matmul.
+
+    Both knobs are measured on the real chip at the 1M settled state
+    (tools/bench_kernel_variants.py, round 4): production sub=64/mxu=False
+    is the optimum — sub=32 lambda 30.4 ms, sub=16 55.8 ms vs 25.3 ms at
+    sub=64 (tile overhead beats the tighter windows), and every mxu=True
+    variant is >= 2.2x slower (see _centred_r2_mxu)."""
 
     def __init__(self, capacity: int, grid: GridSpec, h: float, smax: int,
-                 interpret: bool = False):
+                 interpret: bool = False, sub: int = SUB, mxu: bool = False):
         assert capacity % BLK == 0, "capacity must be a multiple of BLK"
-        self.plan = PallasPlanSpec(nblocks=capacity // BLK, smax=smax)
+        assert BLK % sub == 0 and sub % 8 == 0, "sub must be a multiple of 8"
+        self.plan = PallasPlanSpec(nblocks=capacity // BLK, smax=smax, sub=sub)
         self.capacity = capacity
         self.grid = grid
         self.h = h
         self.smax = smax
+        self.sub = sub
         if grid.ncells >= (1 << 24):
             raise ValueError("pallas path requires < 2^24 grid cells (f32-exact ids)")
-        self._lambda = make_lambda_call(self.plan, capacity, h, grid, interpret)
-        self._delta = make_delta_call(self.plan, capacity, h, grid, interpret)
+        self._lambda = make_lambda_call(self.plan, capacity, h, grid, interpret,
+                                        mxu=mxu)
+        self._delta = make_delta_call(self.plan, capacity, h, grid, interpret,
+                                      mxu=mxu)
         self._diffuse = make_diffuse_call(self.plan, capacity, grid, interpret)
 
     def plan_frame(self, sorted_key, cell_table):
         wins, overflow = plan_windows(
-            sorted_key, cell_table, self.grid, self.capacity, self.smax
+            sorted_key, cell_table, self.grid, self.capacity, self.smax,
+            sub=self.sub,
         )
         return wins, overflow
 
