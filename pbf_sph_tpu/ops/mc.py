@@ -28,7 +28,13 @@ from pbf_sph_tpu.ops.curves import morton_encode3
 
 
 # initial staged-rows-per-block capacity for blocked emission (grown on
-# emit_overflow, models/growth.py)
+# emit_overflow, models/growth.py).  NOTE (round-4 measurement,
+# tools/micro_extract.py logs in BENCHMARKS.md): the blocked two-stage sort
+# is a wash at mc128k (18.1 vs 20.3 ms) and a small REGRESSION at mc512k
+# (97.7 vs 92.8 ms) — stage 1 still sorts all 15*M rows, just block-batched,
+# and batched minor-dim sorts don't get cheaper.  Production therefore keeps
+# emit_block=0; the at-scale extraction lever is cube compaction BEFORE
+# emission (mc_extract docstring).
 EMIT_CAP_DEFAULT = 1280
 
 
@@ -315,8 +321,12 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     output; the `big` tail is re-zeroed.  With `spec.emit_block` set the
     sort is two-stage (blocked compaction then a short merge sort — see the
     McSpec field comment); `emit_overflow` > 0 means a block held more live
-    rows than `spec.emit_cap` and the mesh is truncated (grow and re-run,
-    models/growth.py).
+    rows than `spec.emit_cap` and the mesh is INVALID — not merely short:
+    the final pack-by-rank sort shifts every vertex after a dropped row
+    while tri_count still reports the full total.  Consumers must either
+    grow-and-re-run (models/growth.py — the advance()/bench paths) or treat
+    any nonzero emit_overflow as a hard error (the sharded/timed paths
+    surface it in their stats).
 
     Returns (vs (3, 3T), ns (3, 3T), cs (4, 3T), total, emit_overflow)."""
     dtype = lat_v.dtype

@@ -68,7 +68,7 @@ def lattice_inputs(name):
         state, out = solver.step_device(spec, state, dyn, scn)
     sync(out["alive_count"])
     dtype = jnp.dtype(spec.dtype)
-    _, _, mcf = make_phase_objects(spec, True)
+    _, mcf = make_phase_objects(spec, True)
 
     @jax.jit
     def field(state, dyn, scn):
@@ -170,28 +170,14 @@ def main():
             lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale, iso)
 
     def blocked(arr, B, smax):
-        k15, p15, ntris, offs, total = slots(arr)
-        M = ntris.shape[0]
-        nblk = -(-M // B)
-        big = jnp.int32(1 << 30)
-        padM = nblk * B - M
-        if padM:
-            k15 = jnp.pad(k15, ((0, 0), (0, padM)), constant_values=(1 << 30))
-            p15 = jnp.pad(p15, ((0, 0), (0, 0), (0, padM)))
-        k2 = k15.reshape(15, nblk, B).transpose(1, 0, 2).reshape(nblk, 15 * B)
-        p2 = p15.reshape(10, 15, nblk, B).transpose(0, 2, 1, 3).reshape(10, nblk, 15 * B)
-        s1 = jax.lax.sort((k2,) + tuple(p2[a] for a in range(10)),
-                          num_keys=1, is_stable=False)
-        flat = [o[:, :smax].reshape(-1) for o in s1]
-        s2 = jax.lax.sort(tuple(flat), num_keys=1, is_stable=False)
-        n2 = nblk * smax
-        out = jnp.stack(s2[1:11])
-        if n2 < cap3:
-            out = jnp.pad(out, ((0, 0), (0, cap3 - n2)))
-        out = out[:, :cap3]
-        live = jnp.arange(cap3, dtype=jnp.int32) < total * 3
-        out = jnp.where(live[None, :], out, 0.0)
-        return out[0:3], out[3:6], out[6:10], total
+        # the PRODUCTION blocked path (ADVICE r3: benchmark what the product
+        # runs, not a reimplementation that can drift)
+        import dataclasses
+
+        bspec = dataclasses.replace(spec, emit_block=B, emit_cap=smax)
+        (lat_v, lat_n, lat_c, min_extent, scale, iso) = arr
+        return mc_ops.mc_extract(
+            lat_v, lat_n, lat_c, min_extent, extent, bspec, h, scale, iso)
 
     def nine_op(arr):
         k15, p15, ntris, offs, total = slots(arr)
@@ -215,7 +201,8 @@ def main():
         got, t_b = timed(jax.jit(partial(blocked, B=B, smax=smax)), arr,
                          label=f"blocked B={B} smax={smax}")
         d = max(float(maxdiff(g, r)) for g, r in zip(got[:3], ref[:3]))
-        print(f"    parity vs current: max|diff|={d:.3g}")
+        print(f"    parity vs current: max|diff|={d:.3g} "
+              f"emit_ovf={int(got[4])}")
 
 
 if __name__ == "__main__":
