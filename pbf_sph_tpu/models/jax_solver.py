@@ -644,14 +644,32 @@ class JaxSolver(Solver):
             return Result(), ParticleSoA.empty(self.dtype)
         return result, new_state.to_soa()
 
+    @staticmethod
+    def _drain_mesh_rows(arr, t3: int) -> np.ndarray:
+        """Host-transfer only ~t3 of the capacity-sized mesh columns.
+
+        The reference drains exactly numTrigs*3 rows
+        (`src/ocl/oclsph.cpp:192-211`); pulling the full (10, 3*tri_capacity)
+        buffers through the host link dominated `advance()` at bench20k
+        (BENCHMARKS.md).  The device-side slice is rounded up to a power-of-2
+        bucket so the number of distinct compiled slice programs stays
+        O(log capacity)."""
+        cap3 = arr.shape[1]
+        b = 384
+        while b < t3:
+            b *= 2
+        if b >= cap3:
+            return np.asarray(arr)
+        return np.asarray(arr[:, :b])
+
     def _extract_result(self, out, scn, spec: StepSpec) -> Result:
         mesh = ColouredMesh.empty(self.dtype)
         if spec.surface is not None:
             t = int(out["tri_count"])
             mesh = ColouredMesh(
-                vs=np.asarray(out["mesh_vs"]).T[: t * 3],
-                ns=np.asarray(out["mesh_ns"]).T[: t * 3],
-                cs=np.asarray(out["mesh_cs"]).T[: t * 3],
+                vs=self._drain_mesh_rows(out["mesh_vs"], t * 3).T[: t * 3],
+                ns=self._drain_mesh_rows(out["mesh_ns"], t * 3).T[: t * 3],
+                cs=self._drain_mesh_rows(out["mesh_cs"], t * 3).T[: t * 3],
             )
         queries = []
         for qi in range(spec.scene.n_queries):
