@@ -217,16 +217,25 @@ def run_multichip(args, config, particles, output) -> int:
     # single-chip growth loop does (capacities are fixed across a
     # compiled sharded step, so the remedy is larger ShardSpec
     # capacities, sized from ghost_peak)
-    drops = {
-        k: int(np.asarray(stats[k]).sum())
-        for k in ("migrate_dropped", "ghost_dropped")
-    }
+    drop_keys = ["migrate_dropped", "ghost_dropped"]
+    if spec.surface is not None:
+        # a nonzero emit_overflow means the packed mesh is INVALID (vertices
+        # after the first dropped row are shifted — ops/mc.py), not merely
+        # truncated
+        drop_keys.append("mc_emit_overflow")
+    drops = {k: int(np.asarray(stats[k]).sum()) for k in drop_keys}
     if any(drops.values()):
         print(
             f"WARNING: dropped work in the final frame {drops}; "
             f"ghost_peak={int(np.asarray(stats['ghost_peak']).max())} "
             f"(ghost_cap={spec.ghost_cap}) — results are not trustworthy; "
             f"re-run with larger ShardSpec capacities"
+        )
+    if not np.asarray(stats["extent_ok"]).all():
+        print(
+            "WARNING: dynamic bounds outgrew the compiled grid extent "
+            "(extent_ok=0) — results are not trustworthy; rebuild the "
+            "ShardSpec for the larger domain"
         )
     tri_total = (
         int(np.asarray(stats["tri_count"]).sum()) if spec.surface is not None else 0

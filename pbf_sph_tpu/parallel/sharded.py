@@ -354,6 +354,16 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         max_bound = dyn["max_bound"].astype(dtype)
         padding = jnp.asarray(h, dtype) * 2
         min_extent = min_bound / scale - padding
+        # per-frame extent guard (mirrors the single-chip step,
+        # models/jax_solver.py): dt/bounds/forces are jit-dynamic, but the
+        # GLOBAL grid was compiled from the initial bounds — a scaled or
+        # resized domain must fail loudly instead of silently mis-gridding
+        needed = jnp.trunc(
+            ((max_bound / scale + padding) - min_extent) / jnp.asarray(h, dtype)
+        ).astype(jnp.int32)
+        extent_ok = jnp.all(
+            needed <= jnp.asarray(spec.grid_global.extent, jnp.int32)
+        )
 
         # ghost slots (tail 2H rows) always start dead
         alive = state.alive.at[CL:].set(False)
@@ -665,6 +675,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         )
         stats = dict(
             alive_count=jnp.sum(alive).astype(jnp.int32)[None],
+            extent_ok=extent_ok.astype(jnp.int32)[None],
             migrate_dropped=(drop_l + drop_r).astype(jnp.int32)[None],
             migrate_deferred=migrate_deferred[None],
             ghost_dropped=(
@@ -705,7 +716,8 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         q_point=P(), q_id=P(),
     )
     stats_specs = dict(
-        alive_count=P(AXIS), migrate_dropped=P(AXIS), migrate_deferred=P(AXIS),
+        alive_count=P(AXIS), extent_ok=P(AXIS),
+        migrate_dropped=P(AXIS), migrate_deferred=P(AXIS),
         ghost_dropped=P(AXIS), ghost_peak=P(AXIS),
         spawn_dropped=P(AXIS), strip_overflow=P(AXIS),
         query_overflow=P(AXIS), query_ids=P(), query_counts=P(),
