@@ -23,6 +23,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict
 
+import numpy as np
+
 
 def growth_changes(spec, out) -> Dict[str, Any]:
     """Return the `dataclasses.replace(spec, **changes)` field changes needed
@@ -48,11 +50,21 @@ def growth_changes(spec, out) -> Dict[str, Any]:
                 spec.surface, tri_capacity=-(-int(tri * 1.5) // 1024) * 1024
             )
 
+        # compacted-emission live-cube rows -> surface.cube_cap (emit_overflow
+        # = live cubes beyond the cap; the march volume is the hard ceiling,
+        # at which the compaction sort degenerates to the global path's cost
+        # but stays correct)
+        eovf = int(out.get("mc_emit_overflow", 0))
+        if eovf > 0 and spec.surface.cube_cap > 0:
+            sur = changes.get("surface", spec.surface)
+            vol = int(np.prod([s - 1 for s in sur.sample]))
+            new_cap = -(-(sur.cube_cap + eovf) * 5 // 4 // 128) * 128
+            changes["surface"] = dataclasses.replace(
+                sur, cube_cap=min(new_cap, vol))
         # blocked-emission staging rows -> surface.emit_cap; a block denser
         # than the whole two-stage scheme can amortize falls back to the
         # single global sort (emit_block=0), which is correct at any density
-        eovf = int(out.get("mc_emit_overflow", 0))
-        if eovf > 0 and spec.surface.emit_block > 0:
+        elif eovf > 0 and spec.surface.emit_block > 0:
             from pbf_sph_tpu.ops.mc import EMIT_CAP_DEFAULT
 
             sur = changes.get("surface", spec.surface)

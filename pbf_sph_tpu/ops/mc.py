@@ -60,6 +60,16 @@ class McSpec:
     # ~90% padding, BENCHMARKS.md "MC extraction cost model").
     emit_block: int = 0
     emit_cap: int = 0
+    # Cube-compaction emission (round 4): one sort of the M per-cube rows by
+    # (live ? idx : BIG+idx) — unique keys, deterministic — carrying the 65
+    # per-cube corner operands, sliced to the first `cube_cap` columns; the
+    # slot emission sort then runs over 15*cube_cap rows instead of 15*M.
+    # lax.sort on TPU is superlinear in row count (BENCHMARKS.md "MC
+    # extraction cost model"), so cutting rows 15x (stage 1) and ~5-10x
+    # (stage 2) is the at-scale lever the blocked two-stage sort was not.
+    # cube_cap=0 keeps the single global sort; overflow (more live cubes
+    # than cube_cap) reports via emit_overflow (mesh INVALID — grow).
+    cube_cap: int = 0
 
     @staticmethod
     def from_extent(extent, resolution: float, tri_capacity: int = 0,
@@ -224,8 +234,73 @@ def _corner_slices(lat, sample):
     return jnp.stack(outs)
 
 
+def _classify(vals, isolevel, cx, cy, cz, extent, spec: McSpec,
+              node_offset=None, cube_x_hi=None):
+    """Case classification: per-cube case index + triangle count (+ the
+    multi-chip in-volume zeroing and local→global coordinate shift).
+
+    `cube_x_hi` (traced scalar, multi-chip rebalance mode): global cube-x
+    ownership bound — cubes at global x >= cube_x_hi belong to the right
+    neighbour's dynamic slab and emit nothing here."""
+    M = vals.shape[-1]
+    ci = jnp.zeros((M,), jnp.int32)
+    for i in range(8):
+        ci = ci | ((vals[i] < isolevel).astype(jnp.int32) << i)
+    edge_t = jnp.asarray(mct.EDGE_TABLE, jnp.int32)
+    nvert_t = jnp.asarray(mct.NUM_VERTS_TABLE, jnp.int32)
+    ntris = jnp.where(edge_t[ci] == 0, 0, nvert_t[ci] // 3)  # (M,)
+    if node_offset is not None:
+        gmarch = [int(np.floor(extent[a] * spec.resolution)) for a in range(3)]
+        gcube = [
+            c + jnp.asarray(node_offset[a], jnp.int32)
+            for a, c in enumerate((cx, cy, cz))
+        ]
+        in_vol = (
+            (gcube[0] < gmarch[0]) & (gcube[1] < gmarch[1]) & (gcube[2] < gmarch[2])
+        )
+        if cube_x_hi is not None:
+            in_vol = in_vol & (gcube[0] < jnp.asarray(cube_x_hi, jnp.int32))
+        ntris = jnp.where(in_vol, ntris, 0)
+        cx, cy, cz = gcube
+    return ci, ntris, cx, cy, cz
+
+
+def _edge_payload_iso(ci, vals, cnrm, ccol, cx, cy, cz, min_extent, step,
+                      scale, dtype, isolevel):
+    """Edge-lerped per-edge payload for K cubes.  Returns
+    (tri15 (15,K) edge ids -1-padded, payload (10,12,K))."""
+    offs8 = np.asarray(mct.CUBE_OFFSETS)
+    # corner positions, component-major (8, K) per axis
+    cpos = [
+        (min_extent[a] + (jnp.stack([cx, cy, cz])[a][None, :]
+                          + jnp.asarray(offs8[:, a], jnp.int32)[:, None]).astype(dtype) * step) * scale
+        for a in range(3)
+    ]
+    e_from = np.asarray(mct.EDGE_CORNERS[:, 0])
+    e_to = np.asarray(mct.EDGE_CORNERS[:, 1])
+    v0 = vals[e_from]  # (12, K)
+    v1 = vals[e_to]
+    # raw divide: uncrossed edges produce NaN exactly like the reference's
+    # unconditional lerp `scale()`; never selected by TRI_TABLE.
+    t = ((isolevel - v0) / (v1 - v0)).astype(dtype)  # (12, K)
+
+    def lerp(arr):  # (8,K) -> (12,K)
+        a, b = arr[e_from], arr[e_to]
+        return a + t * (b - a)
+
+    payload = jnp.stack(
+        [lerp(cpos[a]) for a in range(3)]
+        + [lerp(cnrm[:, a]) for a in range(3)]
+        + [lerp(ccol[:, a]) for a in range(4)]
+    )
+    tri_t = jnp.asarray(mct.TRI_TABLE, jnp.int32)  # (256,16)
+    tri15 = tri_t[ci][:, :15].T                    # (15, K)
+    return tri15, payload
+
+
 def _emission_inputs(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
-                     h: float, scale, isolevel, node_offset=None):
+                     h: float, scale, isolevel, node_offset=None,
+                     cube_x_hi=None):
     """Shared front half of extraction: case classification, triangle
     cumsum, edge-lerped per-edge payload.  Returns
     (ntris (M,), offs (M,) exclusive, total, tri15 (15,M), payload (10,12,M))."""
@@ -241,66 +316,23 @@ def _emission_inputs(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     cy = rem // mz
     cz = rem - cy * mz
 
-    offs8 = np.asarray(mct.CUBE_OFFSETS)
     vals = _corner_slices(lat_v, spec.sample)       # (8, M)
     cnrm = _corner_slices(lat_n, spec.sample)       # (8, 3, M)
     ccol = _corner_slices(lat_c, spec.sample)       # (8, 4, M)
 
-    ci = jnp.zeros((M,), jnp.int32)
-    for i in range(8):
-        ci = ci | ((vals[i] < isolevel).astype(jnp.int32) << i)
-
-    edge_t = jnp.asarray(mct.EDGE_TABLE, jnp.int32)
-    nvert_t = jnp.asarray(mct.NUM_VERTS_TABLE, jnp.int32)
-    tri_t = jnp.asarray(mct.TRI_TABLE, jnp.int32)  # (256,16)
-
-    ntris = jnp.where(edge_t[ci] == 0, 0, nvert_t[ci] // 3)  # (M,)
-    if node_offset is not None:
-        gmarch = [int(np.floor(extent[a] * spec.resolution)) for a in range(3)]
-        gcube = [
-            c + jnp.asarray(node_offset[a], jnp.int32)
-            for a, c in enumerate((cx, cy, cz))
-        ]
-        in_vol = (
-            (gcube[0] < gmarch[0]) & (gcube[1] < gmarch[1]) & (gcube[2] < gmarch[2])
-        )
-        ntris = jnp.where(in_vol, ntris, 0)
-        cx, cy, cz = gcube
+    ci, ntris, cx, cy, cz = _classify(
+        vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi)
     offs = jnp.cumsum(ntris) - ntris  # exclusive
     total = offs[-1] + ntris[-1]
 
-    # corner attributes, component-major
-    cpos = [
-        (min_extent[a] + (jnp.stack([cx, cy, cz])[a][None, :]
-                          + jnp.asarray(offs8[:, a], jnp.int32)[:, None]).astype(dtype) * step) * scale
-        for a in range(3)
-    ]  # three (8, M)
-
-    e_from = np.asarray(mct.EDGE_CORNERS[:, 0])
-    e_to = np.asarray(mct.EDGE_CORNERS[:, 1])
-    v0 = vals[e_from]  # (12, M)
-    v1 = vals[e_to]
-    # raw divide: uncrossed edges produce NaN exactly like the reference's
-    # unconditional lerp `scale()`; never selected by TRI_TABLE.
-    t = ((isolevel - v0) / (v1 - v0)).astype(dtype)  # (12, M)
-
-    def lerp(arr):  # (8,M) -> (12,M)
-        a, b = arr[e_from], arr[e_to]
-        return a + t * (b - a)
-
-    # payload (10, 12, M): vertex xyz, normal xyz, colour rgba per edge
-    payload = jnp.stack(
-        [lerp(cpos[a]) for a in range(3)]
-        + [lerp(cnrm[:, a]) for a in range(3)]
-        + [lerp(ccol[:, a]) for a in range(4)]
-    )
-
-    tri15 = tri_t[ci][:, :15].T                     # (15, M) edge ids, -1 pad
+    tri15, payload = _edge_payload_iso(
+        ci, vals, cnrm, ccol, cx, cy, cz, min_extent, step, scale, dtype,
+        isolevel)
     return ntris, offs, total, tri15, payload
 
 
 def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
-               h: float, scale, isolevel, node_offset=None):
+               h: float, scale, isolevel, node_offset=None, cube_x_hi=None):
     """Case classification + cumsum compaction + deterministic emission
     (reference mc_size `src/ocl/oclsph_kernel.h:272-318` and mc_eval
     `:336-408`, atomics replaced by exclusive-cumsum offsets).
@@ -330,24 +362,18 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
 
     Returns (vs (3, 3T), ns (3, 3T), cs (4, 3T), total, emit_overflow)."""
     dtype = lat_v.dtype
+    if spec.cube_cap > 0:
+        return _mc_extract_compacted(
+            lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale,
+            isolevel, node_offset, cube_x_hi)
     ntris, offs, total, tri15, payload = _emission_inputs(
         lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale, isolevel,
-        node_offset)
-    M = ntris.shape[0]
+        node_offset, cube_x_hi)
     cap3 = spec.tri_capacity * 3
-    keys = []
-    pays = []
-    big = jnp.int32(1 << 30)
-    for k in range(3 * mct.MAX_TRIS_PER_CUBE):
-        has = (k // 3) < ntris
-        e = tri15[k]
-        # one-hot select over the 12 edges (unrolled mul-add; no gather)
-        sel = jnp.zeros((10, M), dtype)
-        for j in range(12):
-            sel = sel + jnp.where(e == j, payload[:, j], 0.0)
-        keys.append(jnp.where(has, (offs + k // 3) * 3 + (k % 3), big))
-        pays.append(sel)
+    keys, pays = _slot_rows(ntris, offs, tri15, payload, dtype)
     emit_ovf = jnp.asarray(0, jnp.int32)
+    big = jnp.int32(1 << 30)
+    M = ntris.shape[0]
     if spec.emit_block > 0:
         B = spec.emit_block
         smax = max(128, spec.emit_cap or EMIT_CAP_DEFAULT)
@@ -390,4 +416,123 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     # restore the zero-fill the scatter version guaranteed
     live = jnp.arange(cap3, dtype=jnp.int32) < total * 3
     out = jnp.where(live[None, :], out, 0.0)
+    return out[0:3], out[3:6], out[6:10], total, emit_ovf
+
+
+def _slot_rows(ntris, offs, tri15, payload, dtype):
+    """Per-vertex-slot destination keys + payload rows for K cubes.
+
+    Returns (keys: 15 x (K,) int32 — dest rank*3+corner for live slots,
+    past-the-end BIG for dead ones; pays: 15 x (10, K))."""
+    K = ntris.shape[0]
+    big = jnp.int32(1 << 30)
+    keys = []
+    pays = []
+    for k in range(3 * mct.MAX_TRIS_PER_CUBE):
+        has = (k // 3) < ntris
+        e = tri15[k]
+        # one-hot select over the 12 edges (unrolled mul-add; no gather)
+        sel = jnp.zeros((10, K), dtype)
+        for j in range(12):
+            sel = sel + jnp.where(e == j, payload[:, j], 0.0)
+        keys.append(jnp.where(has, (offs + k // 3) * 3 + (k % 3), big))
+        pays.append(sel)
+    return keys, pays
+
+
+def _mc_extract_compacted(lat_v, lat_n, lat_c, min_extent, extent,
+                          spec: McSpec, h: float, scale, isolevel,
+                          node_offset=None, cube_x_hi=None):
+    """Cube-compaction emission (spec.cube_cap > 0; see the McSpec field).
+
+    Stage 1 sorts the M cube rows by the unique key (live ? idx : BIG+idx)
+    carrying case + 8 corner values + 24 corner-normal + 32 corner-colour
+    components, and keeps the first cube_cap columns — the live cubes in
+    ascending-idx (morton/global) order, so the restricted triangle cumsum
+    equals the global one and the emitted mesh is bit-identical to the
+    global path.  The edge lerp and the slot emission sort then run on
+    cube_cap cubes instead of M.  emit_overflow = live cubes beyond
+    cube_cap (mesh INVALID — consumers grow and re-run)."""
+    dtype = lat_v.dtype
+    nx, ny, nz = spec.sample
+    mx, my, mz = nx - 1, ny - 1, nz - 1
+    M = mx * my * mz
+    K = min(int(spec.cube_cap), M)
+    cap3 = spec.tri_capacity * 3
+    step = jnp.asarray(h, dtype) / jnp.asarray(spec.resolution, dtype)
+
+    idx = jnp.arange(M, dtype=jnp.int32)
+    cx = idx // (my * mz)
+    rem = idx - cx * (my * mz)
+    cy = rem // mz
+    cz = rem - cy * mz
+
+    vals = _corner_slices(lat_v, spec.sample)       # (8, M)
+    cnrm = _corner_slices(lat_n, spec.sample)       # (8, 3, M)
+    ccol = _corner_slices(lat_c, spec.sample)       # (8, 4, M)
+
+    # classification only for liveness (+ the multi-chip in-volume zeroing);
+    # coordinates are re-derived from the carried idx after compaction
+    ci, ntris, _, _, _ = _classify(
+        vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi)
+    live = ntris > 0
+    nlive = jnp.sum(live).astype(jnp.int32)
+    total = jnp.sum(ntris)
+
+    big = jnp.int32(1 << 30)
+    key = jnp.where(live, idx, big + idx)  # unique -> deterministic sort
+    ops = (key, ci) + tuple(vals[i] for i in range(8)) \
+        + tuple(cnrm[i, a] for i in range(8) for a in range(3)) \
+        + tuple(ccol[i, a] for i in range(8) for a in range(4))
+    s = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    keyc = s[0][:K]
+    cic = s[1][:K]
+    valsc = jnp.stack(s[2:10])[:, :K]                       # (8, K)
+    cnrmc = jnp.stack(s[10:34]).reshape(8, 3, -1)[:, :, :K]  # (8, 3, K)
+    ccolc = jnp.stack(s[34:66]).reshape(8, 4, -1)[:, :, :K]  # (8, 4, K)
+
+    rank = jnp.arange(K, dtype=jnp.int32)
+    live_c = rank < jnp.minimum(nlive, K)
+    # ntris from the carried case, masked to the live prefix (an in-volume-
+    # zeroed cube sorted into the dead tail must not re-emit)
+    edge_t = jnp.asarray(mct.EDGE_TABLE, jnp.int32)
+    nvert_t = jnp.asarray(mct.NUM_VERTS_TABLE, jnp.int32)
+    ntris_c = jnp.where(
+        live_c & (edge_t[cic] != 0), nvert_t[cic] // 3, 0)
+    # restricted cumsum == global exclusive cumsum at the live cubes
+    # (dead cubes contribute 0 everywhere)
+    offs_c = jnp.cumsum(ntris_c) - ntris_c
+
+    # coordinates from the carried idx (dead/padding rows give junk coords
+    # feeding slots that carry past-the-end keys — sliced off by the pack)
+    idx_c = jnp.where(live_c, keyc, keyc - big)
+    cxc = idx_c // (my * mz)
+    remc = idx_c - cxc * (my * mz)
+    cyc = remc // mz
+    czc = remc - cyc * mz
+    if node_offset is not None:
+        cxc = cxc + jnp.asarray(node_offset[0], jnp.int32)
+        cyc = cyc + jnp.asarray(node_offset[1], jnp.int32)
+        czc = czc + jnp.asarray(node_offset[2], jnp.int32)
+
+    tri15c, payloadc = _edge_payload_iso(
+        cic, valsc, cnrmc, ccolc, cxc, cyc, czc, min_extent, step, scale,
+        dtype, isolevel)
+    emit_ovf = jnp.maximum(nlive - K, 0).astype(jnp.int32)
+
+    keys, pays = _slot_rows(ntris_c, offs_c, tri15c, payloadc, dtype)
+    skey = jnp.concatenate(keys)                  # (15K,)
+    spay = jnp.concatenate(pays, axis=1)          # (10, 15K)
+    nslot = skey.shape[0]
+    if nslot < cap3:
+        skey = jnp.concatenate(
+            [skey, jnp.full((cap3 - nslot,), big, jnp.int32)])
+        spay = jnp.concatenate(
+            [spay, jnp.zeros((10, cap3 - nslot), dtype)], axis=1)
+    sorted_ops = jax.lax.sort(
+        (skey,) + tuple(spay[a] for a in range(10)), num_keys=1,
+        is_stable=False)
+    out = jnp.stack(sorted_ops[1:11])[:, :cap3]
+    livemask = jnp.arange(cap3, dtype=jnp.int32) < total * 3
+    out = jnp.where(livemask[None, :], out, 0.0)
     return out[0:3], out[3:6], out[6:10], total, emit_ovf

@@ -94,6 +94,51 @@ def test_growth_grows_emit_cap_then_falls_back():
     assert ch["surface"].emit_block == 0 and ch["surface"].emit_cap == 0
 
 
+def test_compacted_emission_matches_global():
+    """cube_cap compaction (the at-scale production path) is bit-identical
+    to the global sort whenever the cap holds all live cubes: the stage-1
+    sort keys are unique, the live prefix preserves global cube order, and
+    the restricted triangle cumsum equals the global one."""
+    spec, args = _sphere_lattice()
+    vs, ns, cs, total, ovf = mc_ops.mc_extract(*args)
+    assert int(total) > 100 and int(ovf) == 0
+    M = int(np.prod([s - 1 for s in spec.sample]))
+    for K in (M, 1024, 896):  # full, plenty, tight-ish
+        cspec = dataclasses.replace(spec, cube_cap=K)
+        cargs = (args[0], args[1], args[2], args[3], args[4], cspec,
+                 args[6], args[7], args[8])
+        cvs, cns, ccs, ctotal, covf = mc_ops.mc_extract(*cargs)
+        assert int(ctotal) == int(total)
+        assert int(covf) == 0, f"K={K}"
+        np.testing.assert_array_equal(np.asarray(cvs), np.asarray(vs))
+        np.testing.assert_array_equal(np.asarray(cns), np.asarray(ns))
+        np.testing.assert_array_equal(np.asarray(ccs), np.asarray(cs))
+
+
+def test_compacted_emission_overflow_signal_and_growth():
+    """More live cubes than cube_cap: emit_overflow reports the shortfall
+    (the mesh is INVALID) and the growth policy grows cube_cap, capped at
+    the march volume."""
+    spec, args = _sphere_lattice()
+    cspec = dataclasses.replace(spec, cube_cap=128)
+    cargs = (args[0], args[1], args[2], args[3], args[4], cspec,
+             args[6], args[7], args[8])
+    _, _, _, total, ovf = mc_ops.mc_extract(*cargs)
+    assert int(ovf) > 0
+
+    _, cfg, _ = dam_break(400, solver_iter=1, surface=True)
+    solver = JaxSolver(h=cfg.h)
+    sspec = solver.make_spec(cfg, Scene(), capacity=512)
+    sp = dataclasses.replace(
+        sspec, surface=dataclasses.replace(sspec.surface, cube_cap=128))
+    base = dict(max_occupancy=0, tri_count=0)
+    ch = growth_changes(sp, dict(base, mc_emit_overflow=int(ovf)))
+    assert ch["surface"].cube_cap > 128
+    vol = int(np.prod([s - 1 for s in sp.surface.sample]))
+    ch = growth_changes(sp, dict(base, mc_emit_overflow=10 * vol))
+    assert ch["surface"].cube_cap == vol
+
+
 @pytest.mark.slow
 def test_blocked_emission_end_to_end_growth():
     """advance() with a deliberately tiny emit_cap converges via the growth

@@ -126,7 +126,10 @@ def build_slots(arr, extent, spec, h):
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "mc512k"
+    # pass a single `0` to skip the blocked variants (measured a wash/
+    # regression in round 4; kept for re-measurement)
     blocks = [int(a) for a in sys.argv[2:]] or [512, 2048, 8192]
+    blocks = [b for b in blocks if b > 0]
     args = lattice_inputs(name)
     (lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale, iso) = args
     arr = (lat_v, lat_n, lat_c, min_extent, scale, iso)
@@ -200,6 +203,25 @@ def main():
         smax = max(128, -(-int(live.max()) // 128) * 128)
         got, t_b = timed(jax.jit(partial(blocked, B=B, smax=smax)), arr,
                          label=f"blocked B={B} smax={smax}")
+        d = max(float(maxdiff(g, r)) for g, r in zip(got[:3], ref[:3]))
+        print(f"    parity vs current: max|diff|={d:.3g} "
+              f"emit_ovf={int(got[4])}")
+
+    # --- cube-compaction emission (the PRODUCTION cube_cap path) -----------
+    import dataclasses
+
+    nlive_cubes = int((ntris > 0).sum())
+    print(f"  live cubes: {nlive_cubes} of {M} ({nlive_cubes/M:.1%})")
+
+    def compacted(arr, K):
+        cspec = dataclasses.replace(spec, cube_cap=K)
+        (lat_v, lat_n, lat_c, min_extent, scale, iso) = arr
+        return mc_ops.mc_extract(
+            lat_v, lat_n, lat_c, min_extent, extent, cspec, h, scale, iso)
+
+    for K in sorted({-(-int(nlive_cubes * f) // 128) * 128 for f in (1.25, 2.0, 4.0)}):
+        got, t_c = timed(jax.jit(partial(compacted, K=K)), arr,
+                         label=f"compacted cube_cap={K}")
         d = max(float(maxdiff(g, r)) for g, r in zip(got[:3], ref[:3]))
         print(f"    parity vs current: max|diff|={d:.3g} "
               f"emit_ovf={int(got[4])}")
