@@ -163,8 +163,13 @@ class ShardSpec:
         slab_w = -(-gx // n_dev)
         sspec = scene_spec_of(scene or Scene(), config)
         if rebalance and config.surface is not None:
-            raise ValueError("rebalance=True is incompatible with a surface "
-                             "(the slab-local MC node partition is static)")
+            # the MC node partition follows the DYNAMIC slab bounds, so the
+            # per-column node offset bounds[d]*res must be a whole node index
+            # for every possible boundary column
+            if not float(config.surface.resolution).is_integer():
+                raise ValueError(
+                    "rebalance + surface requires an integer MC resolution "
+                    "(the dynamic node partition shifts by whole columns)")
         if rebalance and gx < n_dev * min_slab_w:
             raise ValueError(
                 f"rebalance: grid has {gx} x-columns but {n_dev} slabs of "
@@ -214,7 +219,15 @@ class ShardSpec:
             from pbf_sph_tpu.ops.mc import McSpec
 
             res = float(config.surface.resolution)
-            nodes_x = slab_w * res
+            if rebalance:
+                # static local lattice sized for the WIDEST possible slab
+                # (ShardSpec.max_slab_w with max_slab_cap=0); the dynamic
+                # bounds mask the owned cube range per frame
+                wcap = max(-(-3 * gx // n_dev), min_slab_w, -(-gx // n_dev))
+                w_nodes = min(wcap, gx - (n_dev - 1) * min_slab_w)
+            else:
+                w_nodes = slab_w
+            nodes_x = w_nodes * res
             assert nodes_x == int(nodes_x), (
                 "sharded MC requires slab_w * resolution to be integral"
             )
@@ -596,9 +609,24 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             from pbf_sph_tpu.ops import mc as mc_ops
 
             res = spec.surface.resolution
-            nodes_x_owned = spec.surface.sample[0] - 1  # slab_w * res
-            node_off = (me * nodes_x_owned, 0, 0)
-            cell_off = (-(me * spec.slab_w - 1), 0, 0)
+            if spec.rebalance:
+                # the node partition follows the DYNAMIC slab bounds: this
+                # device evaluates nodes [bounds[me]*res, bounds[me+1]*res]
+                # (the static local lattice is sized for the widest slab;
+                # padding nodes feed only masked cubes) and owns cubes with
+                # global x < bounds[me+1]*res.  Ghost columns at bounds[me]-1
+                # and bounds[me+1] supply exactly the particles the edge
+                # nodes gather — the same invariant as fixed slabs.
+                res_i = int(res)
+                node_off = (b_me * res_i, 0, 0)
+                cube_hi = bounds[me + 1] * res_i
+                cell_x0 = b_me
+            else:
+                nodes_x_owned = spec.surface.sample[0] - 1  # slab_w * res
+                node_off = (me * nodes_x_owned, 0, 0)
+                cube_hi = None
+                cell_x0 = me * spec.slab_w
+            cell_off = (-(cell_x0 - 1), 0, 0)
             lat_v, lat_n, lat_c = mc_ops.mc_field(
                 new_pos, colour, ptype, alive, cell_table, lgrid,
                 min_extent, spec.grid_global.extent, spec.surface, K, spec.h,
@@ -610,7 +638,7 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             vs, ns, cs, total, emit_ovf = mc_ops.mc_extract(
                 lat_v, lat_n, lat_c, min_extent, spec.grid_global.extent,
                 spec.surface, spec.h, scale, dyn["mc_isolevel"].astype(dtype),
-                node_offset=node_off,
+                node_offset=node_off, cube_x_hi=cube_hi,
             )
             mesh_out = (vs, ns, cs, total, emit_ovf)
 

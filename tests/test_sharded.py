@@ -246,6 +246,123 @@ def test_rebalance_matches_single():
 
 
 @pytest.mark.slow
+def test_migrate_deferral_recovers():
+    """Emigrants beyond migrate_cap are DEFERRED (retained alive, outside
+    the local grid for one frame), not dropped — force the deferral path
+    with a tiny migrate_cap and a block of particles crossing a slab
+    boundary at speed, then assert the backlog drains over subsequent
+    frames with zero drops and full conservation (round-4 VERDICT #5: the
+    deferral path previously had no test that exercised it)."""
+    import dataclasses
+
+    from pbf_sph_tpu.core.types import ParticleSoA
+
+    mc, cfg, particles = dam_break(1200, solver_iter=2)
+    n_dev = 2
+    spec = sharded.ShardSpec.create(cfg, n_dev, len(particles), cfg.h,
+                                    cap_local=len(particles))
+    spec = dataclasses.replace(spec, migrate_cap=256)
+
+    # park every particle half a column left of the slab boundary, moving
+    # +x fast enough that advection crosses it on the first frame
+    gx = spec.grid_global.dims[0]
+    bcol = spec.slab_w  # boundary column (device 0 -> 1)
+    h, scale = cfg.h, float(cfg.scale)
+    min_ext_x = float(np.asarray(cfg.min_bound, np.float32)[0]) / scale - h * 2
+    x_world = (min_ext_x + (bcol - 0.5) * h) * scale
+    pos = particles.position.copy()
+    pos[:, 0] = x_world + np.linspace(0, h * scale * 0.2, len(pos))
+    vel = particles.velocity.copy()
+    vel[:, 0] = 2.0 * h / float(np.float32(cfg.dt))  # ~2 columns/frame
+    xs = ParticleSoA(particles.pid, particles.ptype, particles.mass,
+                     pos, vel, particles.colour)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (sharded.AXIS,))
+    state = sharded.shard_state(sharded.distribute_particles(xs, spec), mesh)
+    step = sharded.build_sharded_step(spec, mesh)
+    dyn = dyn_params_of(cfg, np.float32)
+    deferred = []
+    with mesh:
+        for _ in range(12):
+            state, stats = step(state, dyn)
+            deferred.append(int(np.asarray(stats["migrate_deferred"]).sum()))
+            assert int(np.asarray(stats["migrate_dropped"]).sum()) == 0
+            if deferred[-1] == 0 and len(deferred) > 1:
+                break
+    assert deferred[0] > 0, "the deferral path was not exercised"
+    assert deferred[-1] == 0, f"backlog never drained: {deferred}"
+    # the backlog drains monotonically at migrate_cap per frame
+    assert all(b - a >= 0 for a, b in zip(deferred[1:], deferred[:-1])), deferred
+    # conservation: every particle survives deferral with its identity
+    out = state.to_soa()
+    assert len(out) == len(xs)
+    np.testing.assert_array_equal(np.sort(out.pid), np.sort(xs.pid))
+    assert np.isfinite(out.position).all() and np.isfinite(out.velocity).all()
+
+
+@pytest.mark.slow
+def test_rebalance_surface_matches_single():
+    """Rebalancing + marching cubes coexist (round-4 VERDICT #4): the MC
+    node partition follows the dynamic slab bounds (node/cell offsets are
+    traced values derived from bounds, cube ownership is masked at
+    bounds[d+1]*res), so the reference benchmark workload — sloshing bounds
+    with the surface ON (`src/benchmark.cpp:29,33`) — can use the load
+    balancer.  Triangle sets must match the single-chip run exactly."""
+    from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+
+    mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
+    cfg = cfg.replace(surface=mc)
+    frames = 2
+
+    js = JaxSolver(h=cfg.h)
+    xs_s = particles
+    res = None
+    for f in range(frames):
+        res, xs_s = js.advance(apply_motion_sin_x_cos_z(cfg, f), Scene(), xs_s)
+    T_ref = res.mesh.vs.shape[0] // 3
+    assert T_ref > 0
+
+    n_dev = 2
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (sharded.AXIS,))
+    spec = sharded.ShardSpec.create(
+        cfg, n_dev, len(particles), cfg.h, rebalance=True,
+        cap_local=len(particles),
+    )
+    assert spec.surface is not None
+    bounds = spec.initial_bounds(particles)
+    # the equal-count initial partition must differ from uniform slabs for
+    # this test to exercise the dynamic node offsets
+    assert not np.array_equal(bounds, spec.uniform_bounds())
+    state = sharded.distribute_particles(particles, spec, bounds=bounds)
+    state = sharded.shard_state(state, mesh)
+    step = sharded.build_sharded_step(spec, mesh)
+    with mesh:
+        for f in range(frames):
+            dyn = dyn_params_of(apply_motion_sin_x_cos_z(cfg, f), np.float32)
+            state, stats, bounds = step(state, dyn, bounds=bounds)
+
+    for k in ("migrate_dropped", "ghost_dropped", "mc_emit_overflow"):
+        assert int(np.asarray(stats[k]).sum()) == 0, k
+    counts = np.asarray(stats["tri_count"]).ravel()
+    assert counts.sum() == T_ref
+    cap3 = spec.surface.tri_capacity * 3
+    vs = np.asarray(stats["mesh_vs"])
+
+    rows = []
+    for d, tc in enumerate(counts):
+        seg = vs[:, d * cap3 : d * cap3 + 3 * int(tc)]
+        rows.append(seg.T.reshape(int(tc), 9))
+    got = np.concatenate(rows)
+    want = res.mesh.vs.reshape(T_ref, 9)
+
+    def canon(a):
+        r = np.round(a, 3)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(canon(got), canon(want), atol=2e-2, rtol=0)
+
+
+@pytest.mark.slow
 def test_rebalance_sloshing():
     """SURVEY hard part #4 (round-2 VERDICT next-step #4): 200 frames of the
     oscillating-bounds benchmark motion (`src/sph.hpp:147-158`) on an
