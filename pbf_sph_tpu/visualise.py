@@ -43,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write a resumable state checkpoint every k frames")
     p.add_argument("--resume", default="", help="resume from a checkpoint file")
+    p.add_argument("--render", action="store_true",
+                   help="rasterize each exported frame to frame_NNNNN.png "
+                        "(software z-buffer renderer, utils/render.py — the "
+                        "offline counterpart of the reference's Polyscope "
+                        "viewer, src/visualise.cpp:29-197)")
+    p.add_argument("--render-size", default="640x480", metavar="WxH")
+    p.add_argument("--turntable", type=int, default=0, metavar="N",
+                   help="after the last frame, render N orbit views of the "
+                        "final surface as turntable_KK.png")
     p.add_argument("--set", action="append", default=[], dest="sets",
                    metavar="FRAME:key=value",
                    help="mutate a live parameter before the given frame, as "
@@ -123,7 +132,20 @@ def main(argv=None) -> int:
         frame0 = last_frame + 1  # the checkpoint holds post-frame state
         print(f"resumed {len(xs)} particles after frame {last_frame}")
 
+    render_wh = None
+    cam_center = cam_radius = None
+    if args.render or args.turntable:
+        w, _, h = args.render_size.partition("x")
+        render_wh = (int(w), int(h))
+        # pin the camera to the domain bounds so the animation doesn't
+        # re-frame per frame
+        lo = np.asarray(config.min_bound, np.float64)
+        hi = np.asarray(config.max_bound, np.float64)
+        cam_center = 0.5 * (lo + hi)
+        cam_radius = float(np.linalg.norm(hi - lo)) * 0.5
+
     live_sets = parse_live_sets(args.sets)
+    result = None
     for frame in range(frame0, frame0 + args.frames):
         for key, val in live_sets.get(frame, []):
             config = apply_live_set(config, key, val)
@@ -134,12 +156,35 @@ def main(argv=None) -> int:
             save_ply_points(out_dir / f"cloud_{frame:05d}.ply", xs)
             if config.surface is not None:
                 save_obj_mesh(out_dir / f"mesh_{frame:05d}.obj", result.mesh)
+            if args.render:
+                from pbf_sph_tpu.utils.render import render_frame
+
+                mesh = result.mesh if config.surface is not None else None
+                render_frame(
+                    out_dir / f"frame_{frame:05d}.png", mesh=mesh,
+                    xs=None if mesh is not None else xs,
+                    width=render_wh[0], height=render_wh[1],
+                    center=cam_center, radius=cam_radius,
+                )
         if args.checkpoint_every and frame % args.checkpoint_every == 0:
             save_checkpoint(out_dir / f"ckpt_{frame:05d}.npz", xs, frame)
         print(
             f"frame {frame}: particles={len(xs)} mesh_verts={len(result.mesh.vs)}",
             flush=True,
         )
+    if args.turntable and result is not None:
+        from pbf_sph_tpu.utils.render import render_frame
+
+        mesh = result.mesh if config.surface is not None else None
+        for k in range(args.turntable):
+            render_frame(
+                out_dir / f"turntable_{k:02d}.png", mesh=mesh,
+                xs=None if mesh is not None else xs,
+                width=render_wh[0], height=render_wh[1],
+                center=cam_center, radius=cam_radius,
+                azimuth_deg=360.0 * k / args.turntable,
+            )
+        print(f"turntable: {args.turntable} views", flush=True)
     return 0
 
 
