@@ -26,6 +26,9 @@ from pbf_sph_tpu.utils.export import save_checkpoint, save_obj_mesh, save_ply_po
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pbf-sph-tpu-visualise")
     p.add_argument("--impl", choices=BACKENDS, default="jax")
+    p.add_argument("--workload", choices=("2cubes", "dam"), default="2cubes",
+                   help="2cubes = the reference GUI scene "
+                        "(src/visualise.cpp:44-47); dam = dam-break column")
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--particles", type=int, default=20_000)
     p.add_argument("--out", default="./frames")
@@ -105,9 +108,14 @@ def apply_live_set(config, key: str, val: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    mc, config, particles = simple_config_with_2_cubes(
-        args.particles, args.solver_iter, args.scale
-    )
+    if args.workload == "dam":
+        from pbf_sph_tpu.core.configs import dam_break
+
+        mc, config, particles = dam_break(args.particles, args.solver_iter)
+    else:
+        mc, config, particles = simple_config_with_2_cubes(
+            args.particles, args.solver_iter, args.scale
+        )
     config = config.replace(dt=config.dt * args.dt_scale)
     if not args.no_surface:
         config = config.replace(

@@ -133,8 +133,13 @@ def test_sharded_mc_matches_single():
     """Slab-local marching cubes (field over local nodes + ghost-column
     gathers, cube emission partitioned by slab) produces the same triangle
     set as the single-chip run."""
+    import dataclasses
+
     mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
-    cfg = cfg.replace(surface=mc)
+    # resolution 1.0 (vs the GUI default 2.0) cuts the lattice 8x: the
+    # parity logic is resolution-independent and the CPU compile dominates
+    # this test's wall time (round-4 VERDICT weak #8)
+    cfg = cfg.replace(surface=dataclasses.replace(mc, resolution=1.0))
 
     js = JaxSolver(h=cfg.h)
     res, _ = js.advance(cfg, Scene(), particles)
@@ -308,10 +313,14 @@ def test_rebalance_surface_matches_single():
     bounds[d+1]*res), so the reference benchmark workload — sloshing bounds
     with the surface ON (`src/benchmark.cpp:29,33`) — can use the load
     balancer.  Triangle sets must match the single-chip run exactly."""
+    import dataclasses
+
     from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
 
     mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
-    cfg = cfg.replace(surface=mc)
+    # resolution 1.0: 8x smaller lattice, same parity logic (compile-bound
+    # on CPU — this test was 17 min at resolution 2.0)
+    cfg = cfg.replace(surface=dataclasses.replace(mc, resolution=1.0))
     frames = 2
 
     js = JaxSolver(h=cfg.h)
@@ -364,7 +373,8 @@ def test_rebalance_surface_matches_single():
 
 @pytest.mark.slow
 def test_rebalance_sloshing():
-    """SURVEY hard part #4 (round-2 VERDICT next-step #4): 200 frames of the
+    """SURVEY hard part #4 (round-2 VERDICT next-step #4): 130 frames (one
+    full ~126-frame sin(frame/20) period, past the frame-20-25 slam) of the
     oscillating-bounds benchmark motion (`src/sph.hpp:147-158`) on an
     8-device mesh with dynamic slab-width rebalancing.  Fixed slabs measured
     a 0.682 peak-slab fraction (5.46x uniform, tools/load_balance.py);
@@ -388,7 +398,7 @@ def test_rebalance_sloshing():
     n_dev = 4
     mc, cfg, particles = simple_config_with_2_cubes(2000, 2, 250.0)
     xs_m, spec, peak, drops, bounds = run_sharded_rebalance(
-        cfg, particles, n_dev, frames=200, motion=True, settle=60,
+        cfg, particles, n_dev, frames=130, motion=True, settle=60,
         cap_local=992, ghost_cap=832, min_slab_w=2,
     )
     assert spec.cap_local < 0.5 * len(particles)
