@@ -293,6 +293,15 @@ def advance_timed(
             mesh_vs=mesh_out[0], mesh_ns=mesh_out[1], mesh_cs=mesh_out[2],
             tri_count=mesh_out[3],
         )
+        # timed runs have no growth loop: a nonzero emit_overflow means the
+        # packed mesh is INVALID (vertices after the first dropped row shift)
+        # — fail loudly rather than time a corrupted frame (ops/mc.py)
+        eovf = int(np.asarray(mesh_out[4]))
+        if eovf > 0:
+            raise RuntimeError(
+                f"mc emit_overflow={eovf}: mesh capacity too small for this "
+                f"frame — grow cube_cap/emit_cap (advance() does this "
+                f"automatically)")
     result = solver._extract_result(out, scn, spec)
     soa = new_state.to_soa()
     stop()

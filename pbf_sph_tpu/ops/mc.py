@@ -37,6 +37,22 @@ from pbf_sph_tpu.ops.curves import morton_encode3
 # emission (mc_extract docstring).
 EMIT_CAP_DEFAULT = 1280
 
+# cube-compaction defaults (round-4 measurement, tools/micro_extract.py on
+# the real chip — BENCHMARKS.md "MC extraction cost model"): at mc512k the
+# compacted path is 18.0 ms vs 91.6 ms for the global sort (bit-identical
+# output), and its cost is insensitive to the cap (19.0 ms at 2x live cubes,
+# 25.1 ms at 4x).  An eighth of the march volume covers live-cube fractions
+# up to 12.5% (measured: 4.5% at mc512k) before the growth policy has to
+# step in.  Below the volume threshold the lattice is small enough that the
+# global sort is already cheap and not worth a growth-retry loop.
+CUBE_COMPACT_MIN_VOL = 32768
+
+
+def default_cube_cap(march_volume: int) -> int:
+    if march_volume < CUBE_COMPACT_MIN_VOL:
+        return 0
+    return min(-(-(march_volume // 8) // 128) * 128, march_volume)
+
 
 @dataclass(frozen=True)
 class McSpec:
@@ -73,18 +89,22 @@ class McSpec:
 
     @staticmethod
     def from_extent(extent, resolution: float, tri_capacity: int = 0,
-                    influence_static: float = 0.5) -> "McSpec":
+                    influence_static: float = 0.5,
+                    cube_cap: int = -1) -> "McSpec":
         f = np.float32
         sample = (np.floor(np.asarray(extent, f) * f(resolution)) + 1).astype(np.int64)
         march = sample - 1
         vol = int(march[0] * march[1] * march[2])
         if tri_capacity <= 0:
             tri_capacity = max(1024, vol)  # ~1 triangle/cube on average
+        if cube_cap < 0:
+            cube_cap = default_cube_cap(vol)
         return McSpec(
             resolution=float(resolution),
             sample=tuple(int(v) for v in sample),
             tri_capacity=int(tri_capacity),
             influence_static=float(influence_static),
+            cube_cap=int(cube_cap),
         )
 
 
@@ -445,13 +465,16 @@ def _mc_extract_compacted(lat_v, lat_n, lat_c, min_extent, extent,
                           node_offset=None, cube_x_hi=None):
     """Cube-compaction emission (spec.cube_cap > 0; see the McSpec field).
 
-    Stage 1 sorts the M cube rows by the unique key (live ? idx : BIG+idx)
-    carrying case + 8 corner values + 24 corner-normal + 32 corner-colour
-    components, and keeps the first cube_cap columns — the live cubes in
+    Stage 1 sorts the M cube indices by the unique key
+    (live ? idx : BIG+idx) — ONE int32 operand, so the sort is cheap and
+    compiles fast — and keeps the first cube_cap entries: the live cubes in
     ascending-idx (morton/global) order, so the restricted triangle cumsum
     equals the global one and the emitted mesh is bit-identical to the
-    global path.  The edge lerp and the slot emission sort then run on
-    cube_cap cubes instead of M.  emit_overflow = live cubes beyond
+    global path.  The 65 per-cube corner operands (8 values, 8x3 normals,
+    8x4 colours) are then GATHERED from the lattice at just the K compacted
+    cubes (~65*K elements vs sorting 66 operands of M rows, which we
+    measured as a compile blowup), and the edge lerp + slot emission sort
+    run on cube_cap cubes instead of M.  emit_overflow = live cubes beyond
     cube_cap (mesh INVALID — consumers grow and re-run)."""
     dtype = lat_v.dtype
     nx, ny, nz = spec.sample
@@ -468,11 +491,9 @@ def _mc_extract_compacted(lat_v, lat_n, lat_c, min_extent, extent,
     cz = rem - cy * mz
 
     vals = _corner_slices(lat_v, spec.sample)       # (8, M)
-    cnrm = _corner_slices(lat_n, spec.sample)       # (8, 3, M)
-    ccol = _corner_slices(lat_c, spec.sample)       # (8, 4, M)
 
     # classification only for liveness (+ the multi-chip in-volume zeroing);
-    # coordinates are re-derived from the carried idx after compaction
+    # everything else is re-derived from the compacted idx
     ci, ntris, _, _, _ = _classify(
         vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi)
     live = ntris > 0
@@ -481,35 +502,44 @@ def _mc_extract_compacted(lat_v, lat_n, lat_c, min_extent, extent,
 
     big = jnp.int32(1 << 30)
     key = jnp.where(live, idx, big + idx)  # unique -> deterministic sort
-    ops = (key, ci) + tuple(vals[i] for i in range(8)) \
-        + tuple(cnrm[i, a] for i in range(8) for a in range(3)) \
-        + tuple(ccol[i, a] for i in range(8) for a in range(4))
-    s = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    keyc = s[0][:K]
-    cic = s[1][:K]
-    valsc = jnp.stack(s[2:10])[:, :K]                       # (8, K)
-    cnrmc = jnp.stack(s[10:34]).reshape(8, 3, -1)[:, :, :K]  # (8, 3, K)
-    ccolc = jnp.stack(s[34:66]).reshape(8, 4, -1)[:, :, :K]  # (8, 4, K)
+    keyc = jax.lax.sort(key, is_stable=False)[:K]
 
     rank = jnp.arange(K, dtype=jnp.int32)
     live_c = rank < jnp.minimum(nlive, K)
-    # ntris from the carried case, masked to the live prefix (an in-volume-
-    # zeroed cube sorted into the dead tail must not re-emit)
+    # local cube coords from the compacted idx (dead-tail rows carry a real
+    # cube idx too — their junk payload feeds slots with past-the-end keys,
+    # sliced off by the pack)
+    idx_c = jnp.where(live_c, keyc, keyc - big)
+    cxc = idx_c // (my * mz)
+    remc = idx_c - cxc * (my * mz)
+    cyc = remc // mz
+    czc = remc - cyc * mz
+
+    # gather the 8 corner node columns of the K cubes from the lattice
+    nl = jnp.stack([
+        (cxc + int(o[0])) * (ny * nz) + (cyc + int(o[1])) * nz
+        + (czc + int(o[2]))
+        for o in np.asarray(mct.CUBE_OFFSETS)
+    ])                                                  # (8, K) node ids
+    valsc = jnp.take(lat_v, nl, axis=-1)                # (8, K)
+    cnrmc = jnp.take(lat_n, nl, axis=-1).transpose(1, 0, 2)  # (8, 3, K)
+    ccolc = jnp.take(lat_c, nl, axis=-1).transpose(1, 0, 2)  # (8, 4, K)
+
+    # case re-derived from the gathered values (bit-identical: same fp32
+    # lattice entries, same comparison)
+    cic = jnp.zeros((K,), jnp.int32)
+    for i in range(8):
+        cic = cic | ((valsc[i] < isolevel).astype(jnp.int32) << i)
     edge_t = jnp.asarray(mct.EDGE_TABLE, jnp.int32)
     nvert_t = jnp.asarray(mct.NUM_VERTS_TABLE, jnp.int32)
+    # masked to the live prefix: an in-volume-zeroed cube (multi-chip) or a
+    # dead-tail row must not re-emit even if its case is nonzero
     ntris_c = jnp.where(
         live_c & (edge_t[cic] != 0), nvert_t[cic] // 3, 0)
     # restricted cumsum == global exclusive cumsum at the live cubes
     # (dead cubes contribute 0 everywhere)
     offs_c = jnp.cumsum(ntris_c) - ntris_c
 
-    # coordinates from the carried idx (dead/padding rows give junk coords
-    # feeding slots that carry past-the-end keys — sliced off by the pack)
-    idx_c = jnp.where(live_c, keyc, keyc - big)
-    cxc = idx_c // (my * mz)
-    remc = idx_c - cxc * (my * mz)
-    cyc = remc // mz
-    czc = remc - cyc * mz
     if node_offset is not None:
         cxc = cxc + jnp.asarray(node_offset[0], jnp.int32)
         cyc = cyc + jnp.asarray(node_offset[1], jnp.int32)

@@ -231,14 +231,21 @@ class ShardSpec:
             assert nodes_x == int(nodes_x), (
                 "sharded MC requires slab_w * resolution to be integral"
             )
+            from pbf_sph_tpu.ops.mc import default_cube_cap
+
             gspec = McSpec.from_extent(
                 grid.extent, res,
                 influence_static=float(config.surface.particle_influence),
             )
+            local_sample = (int(nodes_x) + 1, gspec.sample[1], gspec.sample[2])
+            local_vol = int(np.prod([s - 1 for s in local_sample]))
             surface = dataclasses.replace(
                 gspec,
-                sample=(int(nodes_x) + 1, gspec.sample[1], gspec.sample[2]),
+                sample=local_sample,
                 tri_capacity=max(1024, -(-gspec.tri_capacity // n_dev) * 2),
+                # compaction cap from the LOCAL march volume (the per-slab
+                # lattice this device actually extracts from)
+                cube_cap=default_cube_cap(local_vol),
             )
         return ShardSpec(
             n_dev=n_dev,

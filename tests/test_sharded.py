@@ -129,10 +129,14 @@ def test_sharded_pallas_matches_single():
 
 
 @pytest.mark.slow
-def test_sharded_mc_matches_single():
+@pytest.mark.parametrize("compacted", [False, True])
+def test_sharded_mc_matches_single(compacted):
     """Slab-local marching cubes (field over local nodes + ghost-column
     gathers, cube emission partitioned by slab) produces the same triangle
-    set as the single-chip run."""
+    set as the single-chip run.  `compacted=True` forces the cube-compaction
+    emission (McSpec.cube_cap — auto-enabled only at large march volumes) on
+    BOTH sides to certify it multichip, where the in-volume/ownership
+    masking must survive the compaction."""
     import dataclasses
 
     mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
@@ -150,6 +154,14 @@ def test_sharded_mc_matches_single():
     mesh = Mesh(np.array(jax.devices()[:n_dev]), (sharded.AXIS,))
     spec = sharded.ShardSpec.create(cfg, n_dev, len(particles), cfg.h)
     assert spec.surface is not None
+    if compacted:
+        # force the cap well above this scene's live cubes; the single-chip
+        # reference stays on the global path — compaction must be
+        # bit-identical to it
+        lvol = int(np.prod([s - 1 for s in spec.surface.sample]))
+        spec = dataclasses.replace(
+            spec, surface=dataclasses.replace(
+                spec.surface, cube_cap=-(-lvol // 4 // 128) * 128))
     state = sharded.distribute_particles(particles, spec)
     state = sharded.shard_state(state, mesh)
     step = sharded.build_sharded_step(spec, mesh)
@@ -157,6 +169,7 @@ def test_sharded_mc_matches_single():
     with mesh:
         state, stats = step(state, dyn)
 
+    assert int(np.asarray(stats["mc_emit_overflow"]).sum()) == 0
     counts = np.asarray(stats["tri_count"]).ravel()
     assert counts.sum() == T_ref
     cap3 = spec.surface.tri_capacity * 3
