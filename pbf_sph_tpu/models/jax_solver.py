@@ -385,8 +385,16 @@ def build_step(spec: StepSpec, use_pallas: bool = False, strip_capacity: int = 0
         # benchmark's translation-only motion); assert per frame that the
         # current bounds still span the compiled extent so a scaled/resized
         # domain fails loudly instead of silently mis-gridding.
+        # The 1e-3-cell slack absorbs one-ULP jitter between this in-step
+        # arithmetic (XLA on TPU lowers /scale to a reciprocal multiply) and
+        # GridSpec.from_bounds' host division: under translated bounds the
+        # span/h value sits exactly on integer boundaries at some motion
+        # phases (e.g. 2cubes at scale 500: 23.999998 vs 24.000000), and
+        # trunc would flip the comparison a whole cell. A real domain resize
+        # moves the span by >= 1 cell, far beyond the slack.
         needed = jnp.trunc(
             ((max_bound / scale + padding) - min_extent) / jnp.asarray(h, dtype)
+            - jnp.asarray(1e-3, dtype)
         ).astype(jnp.int32)
         extent_ok = jnp.all(needed <= jnp.asarray(spec.grid.extent, jnp.int32))
 
@@ -606,6 +614,43 @@ class JaxSolver(Solver):
             scene=scene_spec_of(scene, config, self.query_capacity),
             surface=surface,
         )
+
+    def warm(self, config: SphParams, scene: Scene, nparticles: int) -> StepSpec:
+        """AOT-compile the step `advance()` would run for (config, scene) at
+        `nparticles` live particles, without executing a frame.
+
+        The reference GUI mutates static parameters — MC resolution/scale,
+        solver iterations — between frames at interactive rates
+        (`src/visualise.cpp:89-94,124-135`).  Here every distinct StepSpec is
+        a separate XLA program, so a live mutation pays its compile on the
+        first frame that uses it (minutes over this environment's remote
+        compile relay).  warm() moves that cost off the critical path: it
+        lowers and compiles against abstract shapes only (no data, no device
+        state), populating the in-process step cache and the persistent
+        compile cache, so the frame that first uses the mutated config
+        dispatches against a warm entry.  Safe to call from a background
+        thread while frames run (visualise.py --precompile does exactly
+        that)."""
+        sspec = scene_spec_of(scene, config, self.query_capacity)
+        n = nparticles + sspec.total_spawn
+        al = self._cap_align
+        capacity = max(al, -(-n // al) * al)
+        spec = self.make_spec(config, scene, capacity)
+        fn = self.get_step(spec)
+
+        def sds(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+                tree,
+            )
+
+        state = FluidState.from_soa(
+            ParticleSoA.empty(self.dtype), capacity, self.dtype
+        )
+        dyn = dyn_params_of(config, self.dtype)
+        scn = scene_arrays_of(scene, sspec, self.dtype)
+        fn.lower(sds(state), sds(dyn), sds(scn)).compile()
+        return spec
 
     # -- host-level API (reference `Solver::advance` parity) ------------------
 

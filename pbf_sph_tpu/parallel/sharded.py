@@ -378,8 +378,12 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
         # models/jax_solver.py): dt/bounds/forces are jit-dynamic, but the
         # GLOBAL grid was compiled from the initial bounds — a scaled or
         # resized domain must fail loudly instead of silently mis-gridding
+        # 1e-3-cell slack: see the single-chip guard (jax_solver.py) — ULP
+        # jitter between reciprocal-multiply and host division flips trunc a
+        # whole cell when span/h sits on an integer boundary
         needed = jnp.trunc(
             ((max_bound / scale + padding) - min_extent) / jnp.asarray(h, dtype)
+            - jnp.asarray(1e-3, dtype)
         ).astype(jnp.int32)
         extent_ok = jnp.all(
             needed <= jnp.asarray(spec.grid_global.extent, jnp.int32)

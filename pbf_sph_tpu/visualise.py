@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--turntable", type=int, default=0, metavar="N",
                    help="after the last frame, render N orbit views of the "
                         "final surface as turntable_KK.png")
+    p.add_argument("--precompile", action="store_true",
+                   help="AOT-compile every spec the scheduled --set mutations "
+                        "will need, in a background thread, before/while "
+                        "frames run — the TPU counterpart of the reference "
+                        "GUI's sub-second slider response for static-shape "
+                        "parameters (iteration, scale, mc_resolution), which "
+                        "otherwise recompile mid-run (visualise.cpp:124-135)")
+    p.add_argument("--precompile-ladder", type=int, default=0, metavar="K",
+                   help="with --precompile, also warm K halving/doubling "
+                        "mc_resolution rungs around each scheduled config, "
+                        "so unscheduled slider moves land on warm specs")
     p.add_argument("--set", action="append", default=[], dest="sets",
                    metavar="FRAME:key=value",
                    help="mutate a live parameter before the given frame, as "
@@ -106,6 +117,43 @@ def apply_live_set(config, key: str, val: str):
     raise SystemExit(f"unknown live parameter {key!r}")
 
 
+def precompile_plan(config, live_sets, ladder: int = 0):
+    """Enumerate the distinct future configs a scheduled --set run will
+    compile, in first-use order, plus `ladder` halving/doubling
+    mc_resolution rungs around each (for unscheduled slider moves).
+
+    Pure (no compilation) so the enumeration is unit-testable; the caller
+    feeds each config to `JaxSolver.warm`."""
+    stops = [config]
+    c = config
+    for frame in sorted(live_sets):
+        for key, val in live_sets[frame]:
+            c = apply_live_set(c, key, val)
+        stops.append(c)
+
+    out, seen = [], set()
+
+    def add(cfg):
+        key = (cfg.iteration, cfg.scale, cfg.min_bound, cfg.max_bound,
+               cfg.surface)
+        if key not in seen:
+            seen.add(key)
+            out.append(cfg)
+
+    for cfg in stops:
+        add(cfg)
+        if cfg.surface is not None:
+            import dataclasses
+
+            for k in range(1, ladder + 1):
+                for res in (cfg.surface.resolution * 2.0 ** k,
+                            cfg.surface.resolution / 2.0 ** k):
+                    add(cfg.replace(surface=dataclasses.replace(
+                        cfg.surface, resolution=res)))
+    # the run's own starting spec is compiled by frame 0 anyway
+    return out[1:] if out and out[0] is config else out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.workload == "dam":
@@ -140,6 +188,36 @@ def main(argv=None) -> int:
         frame0 = last_frame + 1  # the checkpoint holds post-frame state
         print(f"resumed {len(xs)} particles after frame {last_frame}")
 
+    live_sets = parse_live_sets(args.sets)
+    if args.precompile and hasattr(solver, "warm"):
+        import os
+        import threading
+
+        import jax
+
+        # persistent compile cache: warm compiles survive process restarts
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        plan = precompile_plan(config, live_sets, args.precompile_ladder)
+        n0 = len(xs)
+
+        def _warm():
+            for cfg in plan:
+                try:
+                    spec = solver.warm(cfg, Scene(), n0)
+                    print(f"precompiled: iter={spec.iteration} "
+                          f"scale={spec.scale} surface={spec.surface is not None}",
+                          flush=True)
+                except Exception as exc:  # a failed warm only loses the warmth
+                    print(f"precompile failed: {exc}", flush=True)
+
+        if plan:
+            threading.Thread(target=_warm, daemon=True).start()
+            print(f"precompiling {len(plan)} spec(s) in the background",
+                  flush=True)
+
     render_wh = None
     cam_center = cam_radius = None
     if args.render or args.turntable:
@@ -152,7 +230,6 @@ def main(argv=None) -> int:
         cam_center = 0.5 * (lo + hi)
         cam_radius = float(np.linalg.norm(hi - lo)) * 0.5
 
-    live_sets = parse_live_sets(args.sets)
     result = None
     for frame in range(frame0, frame0 + args.frames):
         for key, val in live_sets.get(frame, []):

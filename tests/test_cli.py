@@ -83,3 +83,49 @@ def test_apply_live_set_units():
     assert c.constant_force == (1.0, 2.0, 3.0)
     sets = parse_live_sets(["3:iteration=2", "3:scale=450", "7:dt=0.01"])
     assert sets == {3: [("iteration", "2"), ("scale", "450")], 7: [("dt", "0.01")]}
+
+
+def test_precompile_plan_enumeration():
+    """precompile_plan walks the scheduled --set mutations and dedups on the
+    static-spec fields (iteration/scale/bounds/surface); dt/force changes are
+    dynamic and must not add specs; ladder rungs double/halve mc_resolution."""
+    from pbf_sph_tpu.core.configs import dam_break
+    from pbf_sph_tpu.visualise import parse_live_sets, precompile_plan
+
+    _, cfg, _ = dam_break(100, surface=True)
+    sets = parse_live_sets([
+        "2:iteration=1", "3:dt=0.02", "4:force=0,1,0", "5:iteration=1",
+    ])
+    plan = precompile_plan(cfg, sets)
+    # only ONE distinct future spec (iteration=1); dt/force are dynamic
+    assert [c.iteration for c in plan] == [1]
+
+    plan = precompile_plan(cfg, {}, ladder=1)
+    res = sorted(c.surface.resolution for c in plan)
+    assert res == sorted([cfg.surface.resolution * 2, cfg.surface.resolution / 2])
+
+    # surface off mid-run: the surfaceless spec is enumerated, no rungs on it
+    sets = parse_live_sets(["1:surface=0"])
+    plan = precompile_plan(cfg, sets, ladder=1)
+    assert any(c.surface is None for c in plan)
+
+
+def test_solver_warm_compiles_spec(tmp_path):
+    """JaxSolver.warm AOT-compiles the step for a future config against
+    abstract shapes only (the GUI-slider mitigation): the spec lands in the
+    per-spec step cache and a subsequent advance() with that config runs."""
+    import numpy as np
+
+    from pbf_sph_tpu.core.configs import dam_break
+    from pbf_sph_tpu.core.types import Scene
+    from pbf_sph_tpu.models import make_solver
+
+    _, cfg, xs = dam_break(200, surface=True)
+    solver = make_solver("jax", h=cfg.h)
+    future = cfg.replace(iteration=cfg.iteration + 1)
+    spec = solver.warm(future, Scene(), len(xs))
+    assert spec in solver._steps
+    assert spec.iteration == future.iteration
+    result, xs2 = solver.advance(future, Scene(), xs)
+    assert len(xs2) == len(xs)
+    assert np.isfinite(np.asarray(xs2.position)).all()

@@ -65,3 +65,31 @@ def test_growth_strip_capacity_monotone():
     assert g > s.strip_capacity
     s.strip_capacity = s.capacity - 128
     assert grown_strip_capacity(s, 4096) == s.capacity
+
+
+def test_extent_guard_catches_resize_not_translation():
+    """The frozen-grid extent guard must fire on a genuinely resized domain
+    and stay quiet under the benchmark's translation-only motion — including
+    motion phases where span/h sits exactly on an integer boundary (2cubes at
+    scale 500 hits 23.999998 vs 24.000000 between host division and the
+    TPU's reciprocal-multiply lowering; the guard carries 1e-3-cell slack)."""
+    from pbf_sph_tpu.core.scene import (
+        apply_motion_sin_x_cos_z,
+        simple_config_with_2_cubes,
+    )
+    from pbf_sph_tpu.models.jax_solver import dyn_params_of
+
+    _, cfg, xs = simple_config_with_2_cubes(600, 2, 500.0)
+    solver = JaxSolver(h=cfg.h)
+    spec, state, scn = solver.prepare(cfg, Scene(), xs)
+
+    # translation-only motion: every phase of the benchmark oscillation fits
+    for frame in range(8):
+        c = apply_motion_sin_x_cos_z(cfg, frame)
+        _, out = solver.step_device(spec, state, dyn_params_of(c, solver.dtype), scn)
+        assert bool(out["extent_ok"]), f"false positive at motion frame {frame}"
+
+    # a real resize (domain grown by 25%) must fail loudly
+    grown = cfg.replace(max_bound=tuple(v * 1.25 for v in cfg.max_bound))
+    _, out = solver.step_device(spec, state, dyn_params_of(grown, solver.dtype), scn)
+    assert not bool(out["extent_ok"])
