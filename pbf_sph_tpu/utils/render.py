@@ -120,38 +120,57 @@ def render_mesh(vs, ns, cs, width=640, height=480, eye=None, center=None,
         ok &= (x1 >= x0) & (y1 >= y0)
         if not ok.any():
             continue
-        w_bb = int((x1 - x0)[ok].max()) + 1
-        h_bb = int((y1 - y0)[ok].max()) + 1
-        P = max(w_bb, h_bb)
-        if P > max_block:
-            # a near-camera triangle blew past the block cap: render what
-            # fits (candidates clip to the block) — preview renderer policy
-            P = max_block
-        idx = np.nonzero(ok)[0]
-        px = (x0[idx, None, None] + np.arange(P)[None, :, None])
-        py = (y0[idx, None, None] + np.arange(P)[None, None, :])
-        inb = (px <= x1[idx, None, None]) & (py <= y1[idx, None, None])
-        pxc, pyc = px + 0.5, py + 0.5  # pixel centres
-        # edge functions (signed areas)
-        d = ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))[idx, None, None]
-        w0 = ((bx[idx, None, None] - pxc) * (cy[idx, None, None] - pyc)
-              - (by[idx, None, None] - pyc) * (cx[idx, None, None] - pxc))
-        w1 = ((cx[idx, None, None] - pxc) * (ay[idx, None, None] - pyc)
-              - (cy[idx, None, None] - pyc) * (ax[idx, None, None] - pxc))
-        w2 = d - w0 - w1
-        dn = np.where(np.abs(d) < 1e-12, np.nan, d)
-        b0, b1, b2 = w0 / dn, w1 / dn, w2 / dn
-        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & inb
-        if not inside.any():
-            continue
-        zf = b0 * az[idx, None, None] + b1 * bz[idx, None, None] + b2 * cz[idx, None, None]
-        rgbf = (b0[..., None] * ca[idx, None, None, :]
-                + b1[..., None] * cb[idx, None, None, :]
-                + b2[..., None] * cc[idx, None, None, :])
-        pixf = (py * width + px).astype(np.int64)
-        m = inside.ravel()
-        _resolve_fragments(pixf.ravel()[m], zf.ravel()[m],
-                           rgbf.reshape(-1, 3)[m], width, height, img, zbuf)
+
+        def emit(idx, bx0, by0, P):
+            """Rasterize a PxP candidate block at per-entry origin (bx0, by0)
+            for the triangles `idx` (entries may repeat a triangle — the
+            tiling path below subdivides oversized bboxes)."""
+            px = (bx0[:, None, None] + np.arange(P)[None, :, None])
+            py = (by0[:, None, None] + np.arange(P)[None, None, :])
+            inb = (px <= x1[idx, None, None]) & (py <= y1[idx, None, None])
+            pxc, pyc = px + 0.5, py + 0.5  # pixel centres
+            # edge functions (signed areas)
+            d = ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))[idx, None, None]
+            w0 = ((bx[idx, None, None] - pxc) * (cy[idx, None, None] - pyc)
+                  - (by[idx, None, None] - pyc) * (cx[idx, None, None] - pxc))
+            w1 = ((cx[idx, None, None] - pxc) * (ay[idx, None, None] - pyc)
+                  - (cy[idx, None, None] - pyc) * (ax[idx, None, None] - pxc))
+            w2 = d - w0 - w1
+            dn = np.where(np.abs(d) < 1e-12, np.nan, d)
+            b0, b1, b2 = w0 / dn, w1 / dn, w2 / dn
+            inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & inb
+            if not inside.any():
+                return
+            zf = (b0 * az[idx, None, None] + b1 * bz[idx, None, None]
+                  + b2 * cz[idx, None, None])
+            rgbf = (b0[..., None] * ca[idx, None, None, :]
+                    + b1[..., None] * cb[idx, None, None, :]
+                    + b2[..., None] * cc[idx, None, None, :])
+            pixf = (py * width + px).astype(np.int64)
+            m = inside.ravel()
+            _resolve_fragments(pixf.ravel()[m], zf.ravel()[m],
+                               rgbf.reshape(-1, 3)[m], width, height, img, zbuf)
+
+        big = ok & ((x1 - x0 >= max_block) | (y1 - y0 >= max_block))
+        small = ok & ~big
+        if small.any():
+            idx = np.nonzero(small)[0]
+            P = int(max((x1 - x0)[idx].max(), (y1 - y0)[idx].max())) + 1
+            emit(idx, x0[idx], y0[idx], P)
+        if big.any():
+            # close-up / grazing triangles: subdivide the bbox into
+            # max_block-sized tiles so nothing is clipped (each tile is one
+            # entry; x1/y1 bounds in `emit` trim the ragged edges)
+            bidx = np.nonzero(big)[0]
+            ntx = ((x1 - x0)[bidx] // max_block + 1).astype(np.int64)
+            nty = ((y1 - y0)[bidx] // max_block + 1).astype(np.int64)
+            ntiles = ntx * nty
+            rep = np.repeat(np.arange(bidx.shape[0]), ntiles)
+            tile = np.concatenate([np.arange(n) for n in ntiles])
+            tx = tile % ntx[rep]
+            ty = tile // ntx[rep]
+            emit(bidx[rep], x0[bidx][rep] + tx * max_block,
+                 y0[bidx][rep] + ty * max_block, max_block)
     return img, zbuf
 
 

@@ -57,3 +57,24 @@ def test_render_frame_and_obj_roundtrip(tmp_path):
 def test_render_frame_empty_raises(tmp_path):
     with pytest.raises(ValueError):
         R.render_frame(tmp_path / "x.png", mesh=None, xs=None)
+
+
+def test_render_mesh_oversized_triangle_has_no_holes():
+    """A close-up triangle whose screen bbox far exceeds max_block must be
+    tiled, not clipped (round-4 ADVICE: the old policy clipped to one 64px
+    block and rendered holes)."""
+    # one huge triangle facing the camera, framed to fill the viewport
+    vs = np.array([[-10, -10, 0], [10, -10, 0], [0, 14, 0]], np.float64)
+    ns = np.tile(np.array([[0, 0, 1.0]]), (3, 1))
+    cs = np.tile(np.array([[0.9, 0.2, 0.2, 1.0]]), (3, 1))
+    W, H = 320, 240
+    img, zbuf = R.render_mesh(vs, ns, cs, width=W, height=H, max_block=64)
+    covered = np.isfinite(zbuf)
+    # the old clipping policy capped coverage at one 64x64 block (4096 px)
+    assert covered.sum() > 64 * 64
+    # tiled (max_block=64) must be pixel-identical to a block big enough to
+    # skip the tiling path entirely
+    img_ref, zbuf_ref = R.render_mesh(vs, ns, cs, width=W, height=H,
+                                      max_block=512)
+    np.testing.assert_array_equal(img, img_ref)
+    np.testing.assert_array_equal(zbuf, zbuf_ref)

@@ -89,21 +89,28 @@ def census(lin_sorted, table, dims, member_count, sub=SUB, label=""):
     # disjoint coverage scan (pallas_pbf.disjoint_windows)
     cover = np.zeros(nsub, np.int64)
     chunks = np.zeros(nsub, np.int64)
+    real = np.zeros(nsub, np.int64)
     for s in range(9):
         start_c = np.maximum(lo[:, s] // WCOL, cover)
         end_c = np.maximum(-(-hi[:, s] // WCOL), start_c)
         cover = end_c
         # kernel cost: max(1, nchunk) — empty windows pay the sentinel chunk
         chunks += np.maximum(end_c - start_c, 1)
+        real += end_c - start_c
     # only sub-blocks holding members do real work, but the kernel runs all
     rows = C
     total_chunks = int(chunks.sum())
-    slots_row = total_chunks * WCOL / (C // sub) / sub * sub  # per sub-block
     per_row = total_chunks * WCOL / nsub  # slots per row (rows share chunks)
     print(f"  census[{label}]: sub-blocks={nsub}  chunks={total_chunks}"
           f"  chunks/sub-block={total_chunks/nsub:.2f}"
           f"  pair-slots/row={per_row:.0f}"
           f"  total pair-slots={total_chunks * WCOL * sub / 1e9:.2f} G")
+    print(f"  census[{label}]: REAL chunks (no sentinels)/sub-block: "
+          f"mean={real.mean():.2f} p95={np.percentile(real, 95):.0f} "
+          f"p99={np.percentile(real, 99):.0f} max={real.max()} "
+          f"-> {real.mean()*WCOL:.0f} pair-slots/row "
+          f"({(1 - real.sum()/max(total_chunks,1))*100:.0f}% of executed "
+          f"chunks are sentinels)")
     return total_chunks * WCOL * sub  # total pair slots per sweep
 
 
