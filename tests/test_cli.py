@@ -129,3 +129,62 @@ def test_solver_warm_compiles_spec(tmp_path):
     result, xs2 = solver.advance(future, Scene(), xs)
     assert len(xs2) == len(xs)
     assert np.isfinite(np.asarray(xs2.position)).all()
+
+
+@pytest.mark.slow
+def test_cli_multichip_recovery_replays_from_checkpoint(tmp_path, capsys,
+                                                        monkeypatch):
+    """Forced-overflow recovery (round-5 VERDICT #6): a hard drop injected
+    mid-window must grow the capacity and resume from the LAST state
+    snapshot, replaying only the frames after it — not the whole window."""
+    from pbf_sph_tpu.parallel import sharded
+
+    monkeypatch.chdir(tmp_path)
+    orig_build = sharded.build_sharded_step
+    attempt = {"n": 0}
+
+    def patched_build(spec, mesh):
+        step = orig_build(spec, mesh)
+        this_attempt = attempt["n"]
+        attempt["n"] += 1
+        frame = {"f": 0}
+
+        def wrapped(state, dyn, scn=None, bounds=None):
+            out = step(state, dyn, scn=scn, bounds=bounds)
+            f = frame["f"]
+            frame["f"] += 1
+            if this_attempt == 0 and f == 7:
+                # inject a ghost drop at global frame 7 (after the frame-4
+                # snapshot) — the physics itself never overflows at this size
+                if spec.rebalance:
+                    st, stats, b = out
+                else:
+                    st, stats = out
+                stats = dict(stats)
+                stats["ghost_dropped"] = np.ones_like(
+                    np.asarray(stats["ghost_dropped"]))
+                out = (st, stats, b) if spec.rebalance else (st, stats)
+            return out
+
+        return wrapped
+
+    monkeypatch.setattr(sharded, "build_sharded_step", patched_build)
+    rc = cli.main([
+        "--multichip", "2", "--impl", "jax", "--count", "900",
+        "--iter", "6", "--warmup", "6", "--no-surface", "--ckpt-every", "4",
+        "--output", str(tmp_path / "mc_{impl}_{type}_{iter}"),
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0, captured.err
+    # exactly one recovery, resumed from the frame-4 snapshot: frames 4..7
+    # replayed (4 of 12), NOT the whole 12-frame window
+    assert attempt["n"] == 2
+    assert "resuming from the frame-4 snapshot" in captured.err
+    assert "(4 of 12 frames replayed)" in captured.err
+    assert "(resuming at frame 4/12)" in captured.out
+    assert "Benchmark completed after 6 frames" in captured.out
+    # conservation: every particle the workload built survives the recovery
+    # (--count 900 -> two cubes of 343 = 686 actual particles)
+    built = int(captured.out.split("Workload bench20k: ")[1].split()[0])
+    final = int(captured.out.split("Final Particle count :")[1].splitlines()[0])
+    assert final == built > 0
