@@ -539,17 +539,32 @@ class JaxSolver(Solver):
             # (f32 scratch strips + f32-exact linear cell ids)
             raise ValueError("FP64 is not supported for the pallas backend")
         self._steps: Dict[StepSpec, Any] = {}
+        import threading
+
+        # warm()/advance() may race from different threads (visualise.py
+        # --precompile runs warm in a background thread while frames run);
+        # the lock guards the step cache and _warm_inflight lets a foreground
+        # frame BLOCK ON an in-progress background compile of the same spec
+        # instead of launching a duplicate remote compile (round-4 ADVICE)
+        self._step_lock = threading.Lock()
+        self._warm_inflight: Dict[StepSpec, Any] = {}
 
     # -- spec / step management ---------------------------------------------
 
-    def get_step(self, spec: StepSpec):
-        fn = self._steps.get(spec)
-        if fn is None:
-            raw = build_step(spec, use_pallas=self.use_pallas)
-            # donate the state buffers (in-place frame update) on accelerators
-            donate = (0,) if jax.default_backend() != "cpu" else ()
-            fn = jax.jit(raw, donate_argnums=donate)
-            self._steps[spec] = fn
+    def get_step(self, spec: StepSpec, _wait_warm: bool = True):
+        if _wait_warm:
+            with self._step_lock:
+                ev = self._warm_inflight.get(spec)
+            if ev is not None:
+                ev.wait()
+        with self._step_lock:
+            fn = self._steps.get(spec)
+            if fn is None:
+                raw = build_step(spec, use_pallas=self.use_pallas)
+                # donate the state buffers (in-place frame update) on accelerators
+                donate = (0,) if jax.default_backend() != "cpu" else ()
+                fn = jax.jit(raw, donate_argnums=donate)
+                self._steps[spec] = fn
         return fn
 
     @property
@@ -631,12 +646,32 @@ class JaxSolver(Solver):
         dispatches against a warm entry.  Safe to call from a background
         thread while frames run (visualise.py --precompile does exactly
         that)."""
+        import threading
+
         sspec = scene_spec_of(scene, config, self.query_capacity)
         n = nparticles + sspec.total_spawn
         al = self._cap_align
         capacity = max(al, -(-n // al) * al)
         spec = self.make_spec(config, scene, capacity)
-        fn = self.get_step(spec)
+        # register this spec as warming BEFORE the (minutes-long) compile so
+        # a concurrent foreground get_step blocks on it and reuses the result
+        with self._step_lock:
+            other = self._warm_inflight.get(spec)
+            if other is None:
+                self._warm_inflight[spec] = threading.Event()
+        if other is not None:
+            other.wait()
+            return spec
+        try:
+            return self._warm_locked(spec, config, scene, sspec, capacity)
+        finally:
+            with self._step_lock:
+                ev = self._warm_inflight.pop(spec, None)
+            if ev is not None:
+                ev.set()
+
+    def _warm_locked(self, spec, config, scene, sspec, capacity) -> StepSpec:
+        fn = self.get_step(spec, _wait_warm=False)
 
         def sds(tree):
             return jax.tree_util.tree_map(

@@ -50,8 +50,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rasterize each exported frame to frame_NNNNN.png "
                         "(software z-buffer renderer, utils/render.py — the "
                         "offline counterpart of the reference's Polyscope "
-                        "viewer, src/visualise.cpp:29-197)")
+                        "viewer, src/visualise.cpp:29-197).  Mesh and point "
+                        "cloud are composited into one z-buffered image, as "
+                        "the reference viewer draws both every frame "
+                        "(src/visualise.cpp:152-179)")
+    p.add_argument("--render-no-cloud", action="store_true",
+                   help="with --render, draw only the mesh (the pre-round-5 "
+                        "behaviour)")
     p.add_argument("--render-size", default="640x480", metavar="WxH")
+    p.add_argument("--live", action="store_true",
+                   help="interactive stdin parameter loop: between frames, "
+                        "read 'key=value' lines (same keys as --set) and "
+                        "apply them to the next frame — the reference GUI's "
+                        "live sliders (src/visualise.cpp:119-141); 'reset' "
+                        "restores the initial parameters (the Reset button, "
+                        "src/visualise.cpp:137-140); 'quit' ends the run")
     p.add_argument("--turntable", type=int, default=0, metavar="N",
                    help="after the last frame, render N orbit views of the "
                         "final surface as turntable_KK.png")
@@ -218,6 +231,28 @@ def main(argv=None) -> int:
             print(f"precompiling {len(plan)} spec(s) in the background",
                   flush=True)
 
+    live_q = None
+    if args.live:
+        # stdin reader thread + queue: the frame loop drains whatever lines
+        # arrived since the last frame (non-blocking), exactly how the
+        # reference GUI samples its ImGui state once per solver frame
+        # (src/visualise.cpp:89-94)
+        import queue
+        import sys
+        import threading
+
+        live_q = queue.Queue()
+
+        def _reader():
+            for line in sys.stdin:
+                live_q.put(line.strip())
+            live_q.put(None)  # EOF
+
+        threading.Thread(target=_reader, daemon=True).start()
+        print("live: reading key=value lines from stdin "
+              "('reset' restores, 'quit' ends)", flush=True)
+    config0 = config
+
     render_wh = None
     cam_center = cam_radius = None
     if args.render or args.turntable:
@@ -231,10 +266,33 @@ def main(argv=None) -> int:
         cam_radius = float(np.linalg.norm(hi - lo)) * 0.5
 
     result = None
+    stop = False
     for frame in range(frame0, frame0 + args.frames):
         for key, val in live_sets.get(frame, []):
             config = apply_live_set(config, key, val)
             print(f"frame {frame}: set {key}={val}", flush=True)
+        while live_q is not None and not live_q.empty():
+            line = live_q.get_nowait()
+            if line is None or line in ("quit", "q"):
+                stop = line is not None
+                live_q = None
+                if stop:
+                    print(f"frame {frame}: quit", flush=True)
+                break
+            if not line:
+                continue
+            if line == "reset":
+                config = config0
+                print(f"frame {frame}: reset", flush=True)
+                continue
+            key, _, val = line.partition("=")
+            try:
+                config = apply_live_set(config, key, val)
+                print(f"frame {frame}: set {key}={val}", flush=True)
+            except SystemExit as exc:
+                print(f"frame {frame}: ignored {line!r} ({exc})", flush=True)
+        if stop:
+            break
         cfg = config if args.no_motion else apply_motion_sin_x_cos_z(config, frame)
         result, xs = solver.advance(cfg, Scene(), xs)
         if frame % args.every == 0:
@@ -245,9 +303,12 @@ def main(argv=None) -> int:
                 from pbf_sph_tpu.utils.render import render_frame
 
                 mesh = result.mesh if config.surface is not None else None
+                # composite mesh AND cloud (the reference viewer draws both
+                # every frame, src/visualise.cpp:152-179); the z-buffer is
+                # shared so particles inside the surface are hidden
                 render_frame(
                     out_dir / f"frame_{frame:05d}.png", mesh=mesh,
-                    xs=None if mesh is not None else xs,
+                    xs=None if (mesh is not None and args.render_no_cloud) else xs,
                     width=render_wh[0], height=render_wh[1],
                     center=cam_center, radius=cam_radius,
                 )
@@ -264,7 +325,7 @@ def main(argv=None) -> int:
         for k in range(args.turntable):
             render_frame(
                 out_dir / f"turntable_{k:02d}.png", mesh=mesh,
-                xs=None if mesh is not None else xs,
+                xs=None if (mesh is not None and args.render_no_cloud) else xs,
                 width=render_wh[0], height=render_wh[1],
                 center=cam_center, radius=cam_radius,
                 azimuth_deg=360.0 * k / args.turntable,

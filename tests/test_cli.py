@@ -188,3 +188,28 @@ def test_cli_multichip_recovery_replays_from_checkpoint(tmp_path, capsys,
     built = int(captured.out.split("Workload bench20k: ")[1].split()[0])
     final = int(captured.out.split("Final Particle count :")[1].splitlines()[0])
     assert final == built > 0
+
+
+def test_visualise_live_stdin_loop(tmp_path, capsys, monkeypatch):
+    """--live: key=value lines from stdin mutate the next frame; 'reset'
+    restores the initial parameters; 'quit' ends the run early (the
+    reference GUI's sliders + Reset button, src/visualise.cpp:119-141)."""
+    import io
+
+    from pbf_sph_tpu import visualise
+
+    # all lines are drained before frame 1 runs (the reader thread is
+    # joined-by-queue); quit must end the run well before --frames
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "iteration=2\nbogus_line\nreset\nquit\n"))
+    rc = visualise.main([
+        "--impl", "numpy", "--particles", "300", "--frames", "50",
+        "--no-surface", "--live", "--out", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "set iteration=2" in out
+    assert "reset" in out
+    assert "quit" in out
+    # ended early: far fewer than 50 frames ran
+    assert out.count("particles=") < 10

@@ -78,3 +78,34 @@ def test_render_mesh_oversized_triangle_has_no_holes():
                                       max_block=512)
     np.testing.assert_array_equal(img, img_ref)
     np.testing.assert_array_equal(zbuf, zbuf_ref)
+
+
+def test_render_frame_composites_mesh_and_cloud(tmp_path):
+    """Mesh + point cloud share one z-buffer (the reference viewer draws
+    both every frame, src/visualise.cpp:152-179): adding a cloud in front
+    of the mesh must change the image."""
+    from pbf_sph_tpu.core.types import ParticleSoA
+
+    m = _tri_mesh()
+    rng = np.random.default_rng(1)
+    n = 200
+    xs = ParticleSoA(
+        pid=np.arange(n), ptype=np.zeros(n, np.int32),
+        mass=np.ones(n, np.float32),
+        position=rng.uniform(-0.2, 1.2, (n, 3)).astype(np.float32) + [0, 0, 2.0],
+        velocity=np.zeros((n, 3), np.float32),
+        colour=np.tile(np.array([[1.0, 0.9, 0.1, 1.0]], np.float32), (n, 1)),
+    )
+    p_mesh = tmp_path / "mesh_only.png"
+    p_both = tmp_path / "both.png"
+    center = np.array([0.5, 0.5, 1.0])
+    R.render_frame(p_mesh, mesh=m, width=160, height=120,
+                   center=center, radius=2.0)
+    R.render_frame(p_both, mesh=m, xs=xs, width=160, height=120,
+                   center=center, radius=2.0)
+    from PIL import Image
+
+    a = np.asarray(Image.open(p_mesh))
+    b = np.asarray(Image.open(p_both))
+    assert a.shape == b.shape
+    assert (a != b).any()  # the cloud splats are visible over/next to the mesh

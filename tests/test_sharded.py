@@ -129,6 +129,7 @@ def test_sharded_pallas_matches_single():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 @pytest.mark.parametrize("compacted", [False, True])
 def test_sharded_mc_matches_single(compacted):
     """Slab-local marching cubes (field over local nodes + ghost-column
@@ -385,6 +386,7 @@ def test_rebalance_surface_matches_single():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_rebalance_sloshing():
     """SURVEY hard part #4 (round-2 VERDICT next-step #4): 130 frames (one
     full ~126-frame sin(frame/20) period, past the frame-20-25 slam) of the
