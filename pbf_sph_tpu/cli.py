@@ -486,6 +486,11 @@ def main(argv=None) -> int:
                 result, xs, watch = advance_timed(solver, cfg_f, Scene(), xs)
             else:
                 result, xs = solver.advance(cfg_f, Scene(), xs)
+                if args.phase_timings and getattr(solver, "last_watch", None):
+                    # oracle backends time phases natively (the reference OMP
+                    # backend prints its Stopwatch per frame,
+                    # src/omp/ompsph.hpp:482)
+                    watch = solver.last_watch
         except Exception as e:
             print(f"Caught exception at benchmark frame {frame}:\n{e}")
             raise

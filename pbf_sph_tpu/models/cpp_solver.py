@@ -51,8 +51,14 @@ def _load_lib(dtype=np.float32):
         ct.c_int, _fp, _fp, _fp, _i32p,  # mesh out
         ct.c_int, _i32p, _i32p,  # query out
         _i32p,  # stats
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),  # phase ms
     ]
     return fn
+
+
+PHASES = ("sources", "drains", "advect", "sortz", "gridtable", "queries",
+          "diffuse", "lambda_delta", "finalise", "mc_field", "mc_emit",
+          "writeback")
 
 
 class CppSolver(Solver):
@@ -65,6 +71,10 @@ class CppSolver(Solver):
         self.query_capacity = int(query_capacity)
         self.tri_capacity = int(tri_capacity)
         self._fn = _load_lib(self.dtype)
+        # per-phase table of the LAST advance() (reference OMP prints a
+        # Stopwatch per frame, src/omp/ompsph.hpp:482); cli --phase-timings
+        # prints it
+        self.last_watch = None
 
     def advance(self, config: SphParams, scene: Scene, xs: ParticleSoA):
         f = self.dtype.type
@@ -120,6 +130,7 @@ class CppSolver(Solver):
             o_qids = np.zeros((max(nq, 1), qcap), np.int32)
             o_qcounts = np.zeros(max(nq, 1), np.int32)
             occ = np.zeros(1, np.int32)
+            phase_ms = np.zeros(12, np.float64)
 
             rc = self._fn(
                 f(self.h), f(config.dt), f(config.scale), int(config.iteration),
@@ -144,9 +155,13 @@ class CppSolver(Solver):
                 cap, o_pid, o_ptype, o_mass, o_pos, o_vel, o_col, n_out,
                 tri_cap, o_vs, o_ns, o_cs, n_tris,
                 qcap, o_qids, o_qcounts,
-                occ,
+                occ, phase_ms,
             )
             if rc == 0:
+                from pbf_sph_tpu.utils.stopwatch import Stopwatch
+
+                self.last_watch = Stopwatch.from_durations(
+                    "advance", list(zip(PHASES, phase_ms.tolist())))
                 break
             tri_cap = max(tri_cap * 2, int(n_tris[0]) + 1024)
         else:

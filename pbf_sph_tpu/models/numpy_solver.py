@@ -110,6 +110,13 @@ class NumpySolver(Solver):
     # -- the frame ----------------------------------------------------------
 
     def advance(self, config: SphParams, scene: Scene, xs: ParticleSoA):
+        # per-phase Stopwatch (reference OMP prints one per frame,
+        # src/omp/ompsph.hpp:89-482); cli --phase-timings prints it
+        from pbf_sph_tpu.utils.stopwatch import Stopwatch
+
+        watch = Stopwatch("advance")
+        self.last_watch = watch
+        _stop = watch.start("sources_drains")
         f = self.dtype
         h = f(self.h)
         dt = f(config.dt)
@@ -160,12 +167,15 @@ class NumpySolver(Solver):
         if len(xs) == 0:
             # reference prints and early-outs (`src/omp/ompsph.hpp:122-126`)
             print("Particles depleted")
+            _stop()
             return Result(), xs
 
         n = len(xs)
         fluid = xs.ptype == FLUID
         fl3 = fluid[:, None]
 
+        _stop()
+        _stop = watch.start("advect")
         # 3. advect + external forces (reference `src/omp/ompsph.hpp:130-155`)
         padding = h * f(2)
         min_extent = min_bound / scale - padding
@@ -187,6 +197,8 @@ class NumpySolver(Solver):
         vel = np.where(fl3, xs.velocity + force * dt, xs.velocity)
         pstar = np.where(fl3, vel * dt + xs.position / scale, xs.position / scale)
 
+        _stop()
+        _stop = watch.start("sortz")
         # 4. cell assignment + 5. sort (reference `src/omp/ompsph.hpp:152-158`)
         cells = self._cells_of(pstar, min_extent)
         codes = self._codes_of(cells)
@@ -206,10 +218,14 @@ class NumpySolver(Solver):
         fluid = ptype == FLUID
         fl3 = fluid[:, None]
 
+        _stop()
+        _stop = watch.start("gridtable")
         # 6. dense grid table (reference `makeGridTable`, `src/sph.hpp:238-250`):
         # gridTable[z] = first sorted index with code >= z == searchsorted-left.
         grid_table = np.searchsorted(key, np.arange(maxz + 1, dtype=np.int64), side="left")
 
+        _stop()
+        _stop = watch.start("queries")
         # 7. point queries, centre cell only (reference `src/omp/ompsph.hpp:167-186`)
         queries: List[QueryResult] = []
         for q in scene.queries:
@@ -223,6 +239,8 @@ class NumpySolver(Solver):
                 neigh = pid[seg][ptype[seg] == FLUID].astype(np.int32)
             queries.append(QueryResult(q.id, np.asarray(q.point, f), neigh))
 
+        _stop()
+        _stop = watch.start("stencil_pairs")
         A, B = self._stencil_pairs(cells, codes, grid_table, maxz)
 
         def bc(vals, rows=None, length=n):
@@ -234,6 +252,8 @@ class NumpySolver(Solver):
                 axis=1,
             ).astype(f)
 
+        _stop()
+        _stop = watch.start("diffuse")
         # 8. colour diffusion (reference `src/omp/ompsph.hpp:188-207`)
         nb_fluid = ptype[B] != OBSTACLE
         cnt = np.bincount(A[nb_fluid], minlength=n)
@@ -243,6 +263,8 @@ class NumpySolver(Solver):
         upd = fluid & (cnt > 0)
         colour = np.where(upd[:, None], np.clip(mixed, f(0.03), f(1.0)), colour)
 
+        _stop()
+        _stop = watch.start("lambda_delta")
         # 9. constraint solve (reference `src/omp/ompsph.hpp:209-249`)
         p6f = f(poly6_factor(self.h))
         skf = f(spiky_kernel_factor(self.h))
@@ -269,11 +291,15 @@ class NumpySolver(Solver):
             moved = np.clip((pstar + dp) * scale, min_bound, max_bound) / scale
             pstar = np.where(fl3, moved, pstar)
 
+        _stop()
+        _stop = watch.start("finalise")
         # 10. finalise (reference `src/omp/ompsph.hpp:252-264`)
         delta_x = pstar - position / scale
         new_position = np.where(fl3, pstar * scale, position)
         new_vel = np.where(fl3, (delta_x * (f(1) / dt) + vel) * f(K.VD), vel)
 
+        _stop()
+        _stop = watch.start("mc")
         # 11. marching cubes (reference `src/omp/ompsph.hpp:277-477`)
         mesh = ColouredMesh.empty(f)
         if config.surface is not None:
@@ -283,6 +309,7 @@ class NumpySolver(Solver):
             )
 
         out = ParticleSoA(pid, ptype, mass, new_position, new_vel, colour)
+        _stop()
         return Result(mesh=mesh, queries=queries), out
 
     # -- marching cubes ------------------------------------------------------

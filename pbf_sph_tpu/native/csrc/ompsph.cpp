@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -195,7 +196,23 @@ int PBF_ENTRY(
     // query outputs (qcap slots per query)
     int qcap, int32_t* o_qids, int32_t* o_qcounts,
     // stats
-    int32_t* max_occupancy) {
+    int32_t* max_occupancy,
+    // optional per-phase wall-clock table (12 doubles, ms; nullable) — the
+    // reference OMP backend prints a Stopwatch table per frame
+    // (reference src/omp/ompsph.hpp:89-482); slots: 0 sources, 1 drains,
+    // 2 advect, 3 sortz, 4 gridtable, 5 queries, 6 diffuse, 7 lambda_delta,
+    // 8 finalise, 9 mc_field, 10 mc_emit, 11 writeback
+    double* phase_ms) {
+  auto t_last = std::chrono::steady_clock::now();
+  auto mark = [&](int slot) {
+    auto now = std::chrono::steady_clock::now();
+    if (phase_ms)
+      phase_ms[slot] =
+          std::chrono::duration<double, std::milli>(now - t_last).count();
+    t_last = now;
+  };
+  if (phase_ms)
+    for (int i = 0; i < 12; ++i) phase_ms[i] = 0.0;
   const V3 min_bound = v3(min_bound_in);
   const V3 max_bound = v3(max_bound_in);
   const V3 g = v3(constant_force);
@@ -236,6 +253,7 @@ int PBF_ENTRY(
     }
   }
 
+  mark(0);
   // 2. drains (reference src/omp/ompsph.hpp:107-118)
   if (n_drains > 0) {
     ps.erase(std::remove_if(ps.begin(), ps.end(),
@@ -257,6 +275,7 @@ int PBF_ENTRY(
   if (n == 0) return 0;  // "Particles depleted" (reference src/omp/ompsph.hpp:122-126)
   if (n > cap) return -1;
 
+  mark(1);
   // 3. advect (reference src/omp/ompsph.hpp:130-155)
   const real padding = h * real(2.0);
   const V3 min_extent = min_bound / scale - V3{padding, padding, padding};
@@ -293,10 +312,12 @@ int PBF_ENTRY(
     p.key = p.code < maxz ? p.code : KEY_BIG;
   }
 
+  mark(2);
   // 4. sort by key
   std::stable_sort(ps.begin(), ps.end(),
                    [](const Particle& a, const Particle& b) { return a.key < b.key; });
 
+  mark(3);
   // 5. dense grid table: table[z] = first index with key >= z
   std::vector<int64_t> table((size_t)maxz + 1);
   {
@@ -310,6 +331,7 @@ int PBF_ENTRY(
     *max_occupancy = (int32_t)occ;
   }
 
+  mark(4);
   // 6. queries, centre cell only (reference src/omp/ompsph.hpp:167-186)
   for (int q = 0; q < n_queries; ++q) {
     V3 scaled = v3(q_point + 3 * q) / scale - min_extent;
@@ -327,6 +349,7 @@ int PBF_ENTRY(
     for (int k = o_qcounts[q]; k < qcap; ++k) o_qids[(size_t)q * qcap + k] = -1;
   }
 
+  mark(5);
   // 7. colour diffusion (reference src/omp/ompsph.hpp:188-207); reads old
   // colours, writes new (OCL-style separate buffer, no in-place race)
   std::vector<V4> new_col(n);
@@ -349,6 +372,7 @@ int PBF_ENTRY(
   }
   for (int a = 0; a < n; ++a) ps[a].col = new_col[a];
 
+  mark(6);
   // 8. constraint solve (reference src/omp/ompsph.hpp:209-249)
   const real pi = std::acos(-real(1.0));
   const real p6f = real(315.0) / (real(64.0) * pi * std::pow(h, real(9.0)));
@@ -401,6 +425,7 @@ int PBF_ENTRY(
     }
   }
 
+  mark(7);
   // 9. finalise (reference src/omp/ompsph.hpp:252-264)
 #pragma omp parallel for
   for (int a = 0; a < n; ++a) {
@@ -410,6 +435,7 @@ int PBF_ENTRY(
     ps[a].vel = (dx * (real(1.0) / dt) + ps[a].vel) * VD;
   }
 
+  mark(8);
   // 10. marching cubes (reference src/omp/ompsph.hpp:277-477)
   if (surface_on) {
     const real res = mc_resolution;
@@ -473,6 +499,7 @@ int PBF_ENTRY(
       }
     }
 
+    mark(9);
     // classify + deterministic emission
     const int64_t mx = sx - 1, my = sy - 1, mz = sz - 1;
     const int64_t M = mx * my * mz;
@@ -557,6 +584,7 @@ int PBF_ENTRY(
     (void)overflow;
   }
 
+  mark(10);
   // 11. writeback in sorted order (reference src/omp/ompsph.hpp:480)
   for (int a = 0; a < n; ++a) {
     o_pid[a] = ps[a].id;
@@ -573,6 +601,7 @@ int PBF_ENTRY(
     o_col[4 * a + 2] = ps[a].col.z;
     o_col[4 * a + 3] = ps[a].col.w;
   }
+  mark(11);
   return 0;
 }
 

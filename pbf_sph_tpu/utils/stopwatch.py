@@ -26,6 +26,16 @@ class Stopwatch:
 
         return stop
 
+    @classmethod
+    def from_durations(cls, name: str, entries) -> "Stopwatch":
+        """Build a table from pre-measured (entry, milliseconds) pairs — used
+        by backends that time phases natively (the C++ oracle fills a
+        per-phase array; reference `src/omp/ompsph.hpp:89-482`)."""
+        w = cls(name)
+        for entry, ms in entries:
+            w.entries.append((entry, 0.0, ms / 1000.0))
+        return w
+
     def __str__(self) -> str:
         out = [f"Stopwatch[ {self.name}]:"]
         max_len = max((len(n) for n, _, _ in self.entries), default=0) + 3
