@@ -277,7 +277,64 @@ def project(cx, cy, cz, gdims, count):
     else:
         print("\nno N in range reaches 60 steps/s — the per-slab window "
               "overhang floors the solve term.")
+    occ = (hist > 0.01 * hist.max()).sum()
+    print(f"(x-occupancy: {occ} of {gx} columns hold >1% of the peak column "
+          f"— the 1D partition saturates near {occ // 3} useful slabs at "
+          f"min_slab_w=3)")
     return results
+
+
+def project_2d(cx, cy, cz, gdims, count):
+    """What a 2D (x,y)-tile decomposition of the SAME engine census would
+    give (the engine is 1D today; this quantifies the named next step).
+    Equal-count recursive partition: x into Nx slabs, then each slab into Ny
+    y-ranges; each tile's local grid is (wx+2, wy+2, gz) with ghost layers
+    on the four sides.  Comm doubles (4 neighbours) and is still negligible."""
+    gx, gy, gz = gdims
+    print("\n2D (x,y)-tile projection (engine extension, same kernels):")
+    print(f"{'NxxNy':>7} {'max-tile slots':>15} {'imbal':>6} {'solve':>8} "
+          f"{'step':>8} {'steps/s':>8}")
+    for nx_, ny_ in ((4, 2), (4, 4), (8, 4), (8, 8), (16, 8)):
+        N = nx_ * ny_
+        if nx_ * 3 > gx or ny_ * 3 > gy:
+            continue
+        histx = np.bincount(np.clip(cx, 0, gx - 1), minlength=gx)
+        cdfx = np.cumsum(histx)
+        total = int(cdfx[-1])
+        xb = [0]
+        for d in range(1, nx_):
+            v = int(np.searchsorted(cdfx, total * d / nx_, side="left")) + 1
+            xb.append(min(max(v, xb[-1] + 3), gx - 3 * (nx_ - d)))
+        xb.append(gx)
+        slots = []
+        for i in range(nx_):
+            mx_ = (cx >= xb[i]) & (cx < xb[i + 1])
+            histy = np.bincount(np.clip(cy[mx_], 0, gy - 1), minlength=gy)
+            cdfy = np.cumsum(histy)
+            toty = int(cdfy[-1])
+            yb = [0]
+            for d in range(1, ny_):
+                v = int(np.searchsorted(cdfy, toty * d / ny_, side="left")) + 1
+                yb.append(min(max(v, yb[-1] + 3), gy - 3 * (ny_ - d)))
+            yb.append(gy)
+            for j in range(ny_):
+                m = ((cx >= xb[i] - 1) & (cx < xb[i + 1] + 1)
+                     & (cy >= yb[j] - 1) & (cy < yb[j + 1] + 1))
+                wx = xb[i + 1] - xb[i] + 2
+                wy = yb[j + 1] - yb[j] + 2
+                lin = (((cx[m] - xb[i] + 1).astype(np.int64) * wy
+                        + (cy[m] - yb[j] + 1)) * gz + cz[m])
+                order = np.argsort(lin, kind="stable")
+                ncells = wx * wy * gz
+                table = np.searchsorted(lin[order], np.arange(ncells + 1))
+                slots.append(census_slab(lin[order], table, (wx, wy, gz)))
+        mx = max(slots)
+        imbal = mx / (sum(slots) / N)
+        t_solve = SWEEPS / 2 * mx / RATE_LAMBDA + SWEEPS / 2 * mx / RATE_DELTA
+        t = (t_solve + T_LOCAL_1M * (count / 1e6) / N
+             + 2 * ici_bytes(count, N, gy, gz)[0] / ICI_BW + 204 * ICI_LAT)
+        print(f"{nx_:>3}x{ny_:<3} {mx/1e9:>13.3f}G {imbal:>6.2f} "
+              f"{t_solve*1e3:>7.1f}ms {t*1e3:>7.1f}ms {1/t:>8.1f}")
 
 
 def main():
@@ -299,6 +356,7 @@ def main():
     print("\n== 2. settled-state slab census + projection ==")
     cx, cy, cz, gdims = settled_state()
     project(cx, cy, cz, gdims, count=len(cx))
+    project_2d(cx, cy, cz, gdims, count=len(cx))
 
 
 if __name__ == "__main__":
