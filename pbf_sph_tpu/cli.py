@@ -58,11 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-surface", action="store_true", help="disable marching cubes")
     p.add_argument("--phase-timings", action="store_true",
                    help="print the per-frame Stopwatch phase table")
-    p.add_argument("--multichip", type=int, default=0, metavar="N",
+    p.add_argument("--multichip", default="", metavar="N|NXxNY",
                    help="run the workload across N devices (x-slab domain "
-                        "decomposition + ppermute halo exchange over ICI; "
-                        "falls back to an N-device virtual CPU mesh when "
-                        "fewer real devices exist)")
+                        "decomposition + ppermute halo exchange over ICI) or "
+                        "an NXxNY 2D tile mesh (e.g. 4x2 — two-phase halo "
+                        "exchange, solver-only; the projected path to 60 "
+                        "steps/s at 1M, see BENCHMARKS.md).  Falls back to a "
+                        "virtual CPU mesh when fewer real devices exist")
     p.add_argument("--rebalance", action="store_true",
                    help="dynamic slab-width rebalancing from the particle "
                         "x-CDF (multichip, solver-only workloads)")
@@ -124,7 +126,12 @@ def run_multichip(args, config, particles, output) -> int:
     product path, not just a library one — round-2 VERDICT weak #7)."""
     import os
 
-    n_dev = args.multichip
+    if "x" in str(args.multichip).lower():
+        nx2d, ny2d = (int(v) for v in str(args.multichip).lower().split("x"))
+        n_dev = nx2d * ny2d
+    else:
+        nx2d = ny2d = 0
+        n_dev = int(args.multichip)
     import jax
 
     reexec = os.environ.get("PBF_MULTICHIP_REEXEC") == "1"
@@ -172,6 +179,9 @@ def run_multichip(args, config, particles, output) -> int:
     from pbf_sph_tpu.parallel import sharded
 
     import dataclasses as _dc
+
+    if nx2d:
+        return run_multichip2d(args, config, particles, output, nx2d, ny2d)
 
     use_pallas = args.impl == "pallas"
     mesh = Mesh(np.array(jax.devices()[:n_dev]), (sharded.AXIS,))
@@ -375,6 +385,145 @@ def run_multichip(args, config, particles, output) -> int:
     from pbf_sph_tpu.utils.export import save
 
     save(result, xs, output)
+    print("Results flushed.")
+    return 0
+
+
+def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
+    """Benchmark over an NXxNY 2D tile mesh (parallel/sharded2d.py) with the
+    same snapshot-bounded capacity recovery as the 1D runner."""
+    import dataclasses as _dc
+
+    import jax
+    import numpy as np
+
+    from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+    from pbf_sph_tpu.core.types import Result
+    from pbf_sph_tpu.models.jax_solver import dyn_params_of
+    from pbf_sph_tpu.parallel import sharded2d
+
+    if args.rebalance:
+        print("--rebalance is a 1D x-slab feature (2D tiles use static "
+              "equal-count cuts from the initial state)", file=sys.stderr)
+        return 1
+    use_pallas = args.impl == "pallas"
+    cap_local = 0
+    overrides = {}
+    warm = args.warmup
+    total_frames = warm + args.iterations
+    ckpt_every = max(1, args.ckpt_every)
+
+    ckpt_frame = 0
+    ckpt_soa = particles
+    frame_times: List[float] = []
+    stats = None
+
+    for attempt in range(8):
+        spec = sharded2d.Shard2DSpec.create(
+            config, nx, ny, ckpt_soa, config.h, use_pallas=use_pallas,
+            cap_local=cap_local)
+        if overrides:
+            spec = _dc.replace(spec, **overrides)
+        mesh = sharded2d.make_mesh2d(nx, ny)
+        state = sharded2d.shard_state_2d(
+            sharded2d.distribute_particles_2d(ckpt_soa, spec), mesh)
+        step = sharded2d.build_sharded2d_step(spec, mesh)
+        print(f"Multichip 2D: {nx}x{ny} tiles ({jax.devices()[0].platform}), "
+              f"cap_local={spec.cap_local}, xb={spec.xb}, yb={spec.yb}"
+              + (f" (resuming at frame {ckpt_frame}/{total_frames})"
+                 if ckpt_frame else ""))
+
+        totals = dict(migrate_dropped=0, ghost_dropped=0, migrate_deferred=0)
+        ghost_peak = 0
+        occ_need = 0
+        deferred_last = 0
+        extent_bad = False
+        hard_fail = False
+
+        def track(st):
+            nonlocal ghost_peak, occ_need, deferred_last, extent_bad
+            hard = False
+            for k in totals:
+                v = int(np.asarray(st[k]).sum())
+                totals[k] += v
+                if v and k != "migrate_deferred":
+                    hard = True
+            deferred_last = int(np.asarray(st["migrate_deferred"]).sum())
+            ghost_peak = max(ghost_peak, int(np.asarray(st["ghost_peak"]).max()))
+            alive_d = np.asarray(st["alive_count"]).ravel()
+            drop_d = np.asarray(st["migrate_dropped"]).ravel()
+            occ_need = max(occ_need, int((alive_d + drop_d).max()))
+            extent_bad |= not np.asarray(st["extent_ok"]).all()
+            return hard
+
+        del frame_times[max(ckpt_frame - warm, 0):]
+        with mesh:
+            g = ckpt_frame
+            while g < total_frames:
+                frame = g if g < warm else g - warm
+                dyn = dyn_params_of(
+                    apply_motion_sin_x_cos_z(config, frame), np.float32)
+                t0 = time.perf_counter()
+                state, stats = step(state, dyn)
+                hard = track(stats)
+                if g >= warm:
+                    frame_times.append((time.perf_counter() - t0) * 1000.0)
+                if hard or extent_bad:
+                    hard_fail = True
+                    break
+                g += 1
+                if g % ckpt_every == 0 and g < total_frames:
+                    ckpt_soa = state.to_soa()
+                    ckpt_frame = g
+
+        if extent_bad:
+            print("ERROR: dynamic bounds outgrew the compiled grid extent",
+                  file=sys.stderr)
+            return 1
+        grown = False
+        if totals["ghost_dropped"] > 0:
+            gcap = -(-max(int(ghost_peak * 1.25), 128) // 128) * 128
+            overrides["ghost_x"] = max(gcap, spec.ghost_x + 128)
+            overrides["ghost_y"] = max(gcap, spec.ghost_y + 128)
+            grown = True
+        if totals["migrate_dropped"] > 0:
+            cap_local = -(-max(int(occ_need * 5 // 4), spec.cap_local + 128) // 128) * 128
+            grown = True
+        if totals["migrate_deferred"] > 0 and deferred_last > 0:
+            overrides["migrate_cap"] = -(-(spec.migrate_cap + deferred_last) * 5 // 4 // 128) * 128
+            grown = True
+        if not grown and not hard_fail:
+            if totals["migrate_deferred"] > 0:
+                print(f"# note: {totals['migrate_deferred']} transient "
+                      f"migration deferrals (drained)", file=sys.stderr)
+            break
+        if not grown:
+            raise RuntimeError(f"hard failure without growable capacity: {totals}")
+        print(f"# dropped work {totals} at frame {g} (ghost_peak={ghost_peak},"
+              f" occ_need={occ_need}) — growing and resuming from the "
+              f"frame-{ckpt_frame} snapshot", file=sys.stderr)
+    else:
+        raise RuntimeError(f"2D capacity growth did not converge: {totals}")
+
+    elapsed = sum(frame_times) / 1000.0
+    lo, hi, mean, _, std = summary_stats(frame_times)
+    counts = np.asarray(stats["alive_count"]).ravel()
+    print(
+        f"Benchmark completed after {args.iterations} frames:\n"
+        f"Runtime              : {elapsed:.4g} s\n"
+        f"Framerate            : {args.iterations / elapsed:.4g} fps\n"
+        f"Frame-time min       : {lo:.4g} ms\n"
+        f"Frame-time max       : {hi:.4g} ms\n"
+        f"Frame-time mean       : {mean:.4g} ms\n"
+        f"Frame-time stdDev     : {std:.4g} ms\n"
+        f"Final Vertex count   : 0\n"
+        f"Final Particle count : {int(counts.sum())} \n"
+        f"Per-tile particles   : {counts.tolist()}"
+    )
+    xs = state.to_soa()
+    from pbf_sph_tpu.utils.export import save
+
+    save(Result(), xs, output)
     print("Results flushed.")
     return 0
 

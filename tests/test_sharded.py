@@ -422,3 +422,110 @@ def test_rebalance_sloshing():
     assert peak <= 2.0 / n_dev, peak
     # boundaries remain monotone with the minimum width
     assert (np.diff(bounds) >= spec.min_slab_w).all()
+
+
+# ---------------------------------------------------------------------------
+# 2D tile decomposition (parallel/sharded2d.py)
+# ---------------------------------------------------------------------------
+
+
+def run_sharded2d(cfg, particles, nx, ny, frames, scene=None,
+                  use_pallas=False, cap_local=0):
+    from pbf_sph_tpu.parallel import sharded2d
+
+    mesh = sharded2d.make_mesh2d(nx, ny)
+    spec = sharded2d.Shard2DSpec.create(
+        cfg, nx, ny, particles, cfg.h, scene=scene, use_pallas=use_pallas,
+        cap_local=cap_local,
+    )
+    state = sharded2d.shard_state_2d(
+        sharded2d.distribute_particles_2d(particles, spec), mesh)
+    step = sharded2d.build_sharded2d_step(spec, mesh)
+    dyn = dyn_params_of(cfg, np.float32)
+    scn = (scene_arrays_of(scene, spec.scene, np.float32)
+           if scene is not None else None)
+    stats = None
+    with mesh:
+        for _ in range(frames):
+            state, stats = step(state, dyn, scn)
+    return state.to_soa(), {k: np.asarray(v) for k, v in stats.items()}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("nx,ny", [(2, 2), (4, 2)])
+def test_sharded2d_matches_single(nx, ny):
+    """The 2D tile step (two-phase migration + two-phase ghost halo incl.
+    corners via the x-then-y trick) matches the single-chip run."""
+    mc, cfg, particles = dam_break(1200, solver_iter=3)
+    xs_m, stats = run_sharded2d(cfg, particles, nx, ny, frames=2)
+    xs_s = run_single(cfg, particles, frames=2)
+    assert stats["migrate_dropped"].sum() == 0
+    assert stats["ghost_dropped"].sum() == 0
+    assert stats["migrate_deferred"].sum() == 0
+    assert len(xs_m) == len(xs_s)
+    a = xs_m.order_by_id()
+    b = xs_s.order_by_id()
+    np.testing.assert_array_equal(a.pid, b.pid)
+    np.testing.assert_allclose(a.position, b.position, atol=0.1, rtol=0)
+    np.testing.assert_allclose(a.velocity, b.velocity, atol=0.1, rtol=0)
+    np.testing.assert_allclose(a.colour, b.colour, atol=2e-3, rtol=0)
+
+
+@pytest.mark.slow
+def test_sharded2d_scene_and_queries_match_single():
+    """Scene dynamics (wells/sources/drains) + psum-merged queries across
+    the 2D mesh match the single-chip run."""
+    mc, cfg, particles = dam_break(1200, solver_iter=2)
+    lo = np.asarray(cfg.min_bound, np.float32)
+    hi = np.asarray(cfg.max_bound, np.float32)
+    mid = (lo + hi) / 2
+    scene = Scene(
+        wells=[Well(tag=0, centre=tuple(mid * 0.6), force=150.0)],
+        sources=[Source(tag=777, centre=tuple(mid), velocity=(0, 1, 0),
+                        colour=(1, 0, 0, 1), rate=9)],
+        drains=[Drain(tag=0, centre=tuple(mid * 0.3), width=40.0)],
+        queries=[Query(id=3, point=tuple(mid * 0.5))],
+    )
+    xs_m, stats = run_sharded2d(cfg, particles, 2, 2, frames=2, scene=scene)
+
+    js = JaxSolver(h=cfg.h)
+    xs_s = particles
+    res = None
+    for _ in range(2):
+        res, xs_s = js.advance(cfg, scene, xs_s)
+
+    assert stats["migrate_dropped"].sum() == 0
+    assert stats["spawn_dropped"].sum() == 0
+    assert len(xs_m) == len(xs_s)
+    got = set(int(v) for v in stats["query_ids"][0] if v >= 0)
+    want = set(res.queries[0].neighbours.tolist())
+    assert got == want
+    assert int(stats["query_counts"][0]) == len(want)
+
+
+@pytest.mark.slow
+def test_sharded2d_conserves_under_motion():
+    """Sloshing bounds (the benchmark motion) drive particles across BOTH
+    tile axes; the two-phase migration conserves every particle with zero
+    drops at a fractional per-tile capacity."""
+    from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+
+    mc, cfg, particles = dam_break(1600, solver_iter=1)
+    from pbf_sph_tpu.parallel import sharded2d
+
+    mesh = sharded2d.make_mesh2d(2, 2)
+    spec = sharded2d.Shard2DSpec.create(
+        cfg, 2, 2, particles, cfg.h, cap_local=1280)
+    state = sharded2d.shard_state_2d(
+        sharded2d.distribute_particles_2d(particles, spec), mesh)
+    step = sharded2d.build_sharded2d_step(spec, mesh)
+    ids = set()
+    with mesh:
+        for frame in range(12):
+            dyn = dyn_params_of(apply_motion_sin_x_cos_z(cfg, frame), np.float32)
+            state, stats = step(state, dyn)
+            assert int(np.asarray(stats["migrate_dropped"]).sum()) == 0
+            assert int(np.asarray(stats["ghost_dropped"]).sum()) == 0
+            assert int(np.asarray(stats["alive_count"]).sum()) == len(particles)
+    xs = state.to_soa()
+    assert sorted(xs.pid.tolist()) == sorted(particles.pid.tolist())
