@@ -529,3 +529,20 @@ def test_sharded2d_conserves_under_motion():
             assert int(np.asarray(stats["alive_count"]).sum()) == len(particles)
     xs = state.to_soa()
     assert sorted(xs.pid.tolist()) == sorted(particles.pid.tolist())
+
+
+@pytest.mark.slow
+def test_sharded2d_pallas_matches_single():
+    """The production Pallas phase pipeline inside the 2D tile shard_map
+    (interpret mode on the CPU mesh) matches the single-chip run."""
+    mc, cfg, particles = dam_break(800, solver_iter=2)
+    xs_m, stats = run_sharded2d(cfg, particles, 2, 2, frames=1,
+                                use_pallas=True)
+    assert stats["strip_overflow"].max() == 0
+    xs_s = run_single(cfg, particles, frames=1)
+    assert len(xs_m) == len(xs_s)
+    a = xs_m.order_by_id()
+    b = xs_s.order_by_id()
+    np.testing.assert_array_equal(a.pid, b.pid)
+    np.testing.assert_allclose(a.position, b.position, atol=0.1, rtol=0)
+    np.testing.assert_allclose(a.colour, b.colour, atol=2e-3, rtol=0)
