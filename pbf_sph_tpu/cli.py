@@ -62,12 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the workload across N devices (x-slab domain "
                         "decomposition + ppermute halo exchange over ICI) or "
                         "an NXxNY 2D tile mesh (e.g. 4x2 — two-phase halo "
-                        "exchange, solver-only; the projected path to 60 "
-                        "steps/s at 1M, see BENCHMARKS.md).  Falls back to a "
-                        "virtual CPU mesh when fewer real devices exist")
+                        "exchange incl. tile-local marching cubes; the "
+                        "projected path to 60 steps/s at 1M, see "
+                        "BENCHMARKS.md).  Falls back to a virtual CPU mesh "
+                        "when fewer real devices exist")
     p.add_argument("--rebalance", action="store_true",
-                   help="dynamic slab-width rebalancing from the particle "
-                        "x-CDF (multichip, solver-only workloads)")
+                   help="dynamic equal-count re-partitioning from the "
+                        "particle CDF (multichip: slab widths in 1D, "
+                        "tensor-product cuts per axis in 2D)")
     p.add_argument("--ckpt-every", type=int, default=50, metavar="K",
                    help="multichip: snapshot the state every K frames so a "
                         "capacity recovery replays only the frames after the "
@@ -141,9 +143,19 @@ def run_multichip(args, config, particles, output) -> int:
         # sitecustomize overrides JAX_PLATFORMS, so env alone is not enough)
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
+            flags = (
                 flags + f" --xla_force_host_platform_device_count={n_dev}"
             ).strip()
+        if "collective_call_terminate_timeout" not in flags:
+            # XLA:CPU's in-process collectives abort when device threads
+            # arrive at a rendezvous more than 40 s apart; on a few-core
+            # host emulating N devices, a heavy per-tile stage (e.g. the MC
+            # lattice) skews threads far beyond that.  Not a deadlock —
+            # raise the watchdog for the emulation (real meshes run in
+            # lockstep and never wait here).
+            flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                      " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+        os.environ["XLA_FLAGS"] = flags
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
@@ -391,68 +403,86 @@ def run_multichip(args, config, particles, output) -> int:
 
 def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
     """Benchmark over an NXxNY 2D tile mesh (parallel/sharded2d.py) with the
-    same snapshot-bounded capacity recovery as the 1D runner."""
+    same snapshot-bounded capacity recovery as the 1D runner; supports
+    --rebalance (dynamic tensor-product cuts) and surface workloads
+    (tile-local marching cubes)."""
     import dataclasses as _dc
 
     import jax
     import numpy as np
 
     from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
-    from pbf_sph_tpu.core.types import Result
+    from pbf_sph_tpu.core.types import ColouredMesh, Result
     from pbf_sph_tpu.models.jax_solver import dyn_params_of
     from pbf_sph_tpu.parallel import sharded2d
 
-    if args.rebalance:
-        print("--rebalance is a 1D x-slab feature (2D tiles use static "
-              "equal-count cuts from the initial state)", file=sys.stderr)
-        return 1
     use_pallas = args.impl == "pallas"
     cap_local = 0
     overrides = {}
+    surface_over = {}
+    HARD_KEYS = ("migrate_dropped", "ghost_dropped", "mc_emit_overflow")
     warm = args.warmup
     total_frames = warm + args.iterations
     ckpt_every = max(1, args.ckpt_every)
 
     ckpt_frame = 0
     ckpt_soa = particles
+    ckpt_bounds = None
     frame_times: List[float] = []
     stats = None
 
     for attempt in range(8):
         spec = sharded2d.Shard2DSpec.create(
             config, nx, ny, ckpt_soa, config.h, use_pallas=use_pallas,
-            cap_local=cap_local)
+            cap_local=cap_local, rebalance=args.rebalance)
         if overrides:
             spec = _dc.replace(spec, **overrides)
+        if surface_over and spec.surface is not None:
+            spec = _dc.replace(
+                spec, surface=_dc.replace(spec.surface, **surface_over))
+        if args.rebalance:
+            bounds = (ckpt_bounds if ckpt_bounds is not None else
+                      (np.asarray(spec.xb, np.int32),
+                       np.asarray(spec.yb, np.int32)))
+        else:
+            bounds = None
         mesh = sharded2d.make_mesh2d(nx, ny)
         state = sharded2d.shard_state_2d(
-            sharded2d.distribute_particles_2d(ckpt_soa, spec), mesh)
+            sharded2d.distribute_particles_2d(ckpt_soa, spec, bounds=bounds),
+            mesh)
         step = sharded2d.build_sharded2d_step(spec, mesh)
         print(f"Multichip 2D: {nx}x{ny} tiles ({jax.devices()[0].platform}), "
+              f"{'rebalancing' if args.rebalance else 'static'} cuts, "
               f"cap_local={spec.cap_local}, xb={spec.xb}, yb={spec.yb}"
               + (f" (resuming at frame {ckpt_frame}/{total_frames})"
                  if ckpt_frame else ""))
 
-        totals = dict(migrate_dropped=0, ghost_dropped=0, migrate_deferred=0)
+        totals = dict(migrate_dropped=0, ghost_dropped=0, migrate_deferred=0,
+                      mc_emit_overflow=0)
         ghost_peak = 0
+        tri_peak = 0
         occ_need = 0
         deferred_last = 0
         extent_bad = False
         hard_fail = False
 
         def track(st):
-            nonlocal ghost_peak, occ_need, deferred_last, extent_bad
+            nonlocal ghost_peak, tri_peak, occ_need, deferred_last, extent_bad
             hard = False
             for k in totals:
+                if k not in st:
+                    continue
                 v = int(np.asarray(st[k]).sum())
                 totals[k] += v
-                if v and k != "migrate_deferred":
+                if v and k in HARD_KEYS:
                     hard = True
             deferred_last = int(np.asarray(st["migrate_deferred"]).sum())
             ghost_peak = max(ghost_peak, int(np.asarray(st["ghost_peak"]).max()))
             alive_d = np.asarray(st["alive_count"]).ravel()
             drop_d = np.asarray(st["migrate_dropped"]).ravel()
             occ_need = max(occ_need, int((alive_d + drop_d).max()))
+            if spec.surface is not None:
+                tri_peak = max(tri_peak, int(np.asarray(st["tri_count"]).max()))
             extent_bad |= not np.asarray(st["extent_ok"]).all()
             return hard
 
@@ -464,7 +494,10 @@ def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
                 dyn = dyn_params_of(
                     apply_motion_sin_x_cos_z(config, frame), np.float32)
                 t0 = time.perf_counter()
-                state, stats = step(state, dyn)
+                if spec.rebalance:
+                    state, stats, bounds = step(state, dyn, bounds=bounds)
+                else:
+                    state, stats = step(state, dyn)
                 hard = track(stats)
                 if g >= warm:
                     frame_times.append((time.perf_counter() - t0) * 1000.0)
@@ -474,6 +507,9 @@ def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
                 g += 1
                 if g % ckpt_every == 0 and g < total_frames:
                     ckpt_soa = state.to_soa()
+                    ckpt_bounds = (
+                        (np.asarray(bounds[0]), np.asarray(bounds[1]))
+                        if bounds is not None else None)
                     ckpt_frame = g
 
         if extent_bad:
@@ -492,6 +528,16 @@ def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
         if totals["migrate_deferred"] > 0 and deferred_last > 0:
             overrides["migrate_cap"] = -(-(spec.migrate_cap + deferred_last) * 5 // 4 // 128) * 128
             grown = True
+        if spec.surface is not None:
+            if totals["mc_emit_overflow"] > 0 and spec.surface.cube_cap > 0:
+                vol = int(np.prod([s - 1 for s in spec.surface.sample]))
+                surface_over["cube_cap"] = min(
+                    -(-(spec.surface.cube_cap + totals["mc_emit_overflow"]) * 5 // 4 // 128) * 128,
+                    vol)
+                grown = True
+            if tri_peak > spec.surface.tri_capacity:
+                surface_over["tri_capacity"] = -(-int(tri_peak * 3 // 2) // 1024) * 1024
+                grown = True
         if not grown and not hard_fail:
             if totals["migrate_deferred"] > 0:
                 print(f"# note: {totals['migrate_deferred']} transient "
@@ -500,14 +546,19 @@ def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
         if not grown:
             raise RuntimeError(f"hard failure without growable capacity: {totals}")
         print(f"# dropped work {totals} at frame {g} (ghost_peak={ghost_peak},"
-              f" occ_need={occ_need}) — growing and resuming from the "
-              f"frame-{ckpt_frame} snapshot", file=sys.stderr)
+              f" occ_need={occ_need}, tri_peak={tri_peak}) — growing and "
+              f"resuming from the frame-{ckpt_frame} snapshot "
+              f"({g - ckpt_frame + 1} of {total_frames} frames replayed)",
+              file=sys.stderr)
     else:
         raise RuntimeError(f"2D capacity growth did not converge: {totals}")
 
     elapsed = sum(frame_times) / 1000.0
     lo, hi, mean, _, std = summary_stats(frame_times)
     counts = np.asarray(stats["alive_count"]).ravel()
+    tri_total = (
+        int(np.asarray(stats["tri_count"]).sum())
+        if spec.surface is not None else 0)
     print(
         f"Benchmark completed after {args.iterations} frames:\n"
         f"Runtime              : {elapsed:.4g} s\n"
@@ -516,14 +567,20 @@ def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
         f"Frame-time max       : {hi:.4g} ms\n"
         f"Frame-time mean       : {mean:.4g} ms\n"
         f"Frame-time stdDev     : {std:.4g} ms\n"
-        f"Final Vertex count   : 0\n"
+        f"Final Vertex count   : {tri_total * 3}\n"
         f"Final Particle count : {int(counts.sum())} \n"
         f"Per-tile particles   : {counts.tolist()}"
     )
     xs = state.to_soa()
+    if spec.surface is not None:
+        vs, ns, cs = sharded2d.gather_mesh(
+            {k: np.asarray(v) for k, v in stats.items()}, spec)
+        result = Result(mesh=ColouredMesh(vs=vs, ns=ns, cs=cs))
+    else:
+        result = Result()
     from pbf_sph_tpu.utils.export import save
 
-    save(Result(), xs, output)
+    save(result, xs, output)
     print("Results flushed.")
     return 0
 

@@ -255,13 +255,14 @@ def _corner_slices(lat, sample):
 
 
 def _classify(vals, isolevel, cx, cy, cz, extent, spec: McSpec,
-              node_offset=None, cube_x_hi=None):
+              node_offset=None, cube_x_hi=None, cube_y_hi=None):
     """Case classification: per-cube case index + triangle count (+ the
     multi-chip in-volume zeroing and local→global coordinate shift).
 
     `cube_x_hi` (traced scalar, multi-chip rebalance mode): global cube-x
     ownership bound — cubes at global x >= cube_x_hi belong to the right
-    neighbour's dynamic slab and emit nothing here."""
+    neighbour's dynamic slab and emit nothing here.  `cube_y_hi` is the
+    same bound along y (2D tile decomposition, parallel/sharded2d.py)."""
     M = vals.shape[-1]
     ci = jnp.zeros((M,), jnp.int32)
     for i in range(8):
@@ -280,6 +281,8 @@ def _classify(vals, isolevel, cx, cy, cz, extent, spec: McSpec,
         )
         if cube_x_hi is not None:
             in_vol = in_vol & (gcube[0] < jnp.asarray(cube_x_hi, jnp.int32))
+        if cube_y_hi is not None:
+            in_vol = in_vol & (gcube[1] < jnp.asarray(cube_y_hi, jnp.int32))
         ntris = jnp.where(in_vol, ntris, 0)
         cx, cy, cz = gcube
     return ci, ntris, cx, cy, cz
@@ -320,7 +323,7 @@ def _edge_payload_iso(ci, vals, cnrm, ccol, cx, cy, cz, min_extent, step,
 
 def _emission_inputs(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
                      h: float, scale, isolevel, node_offset=None,
-                     cube_x_hi=None):
+                     cube_x_hi=None, cube_y_hi=None):
     """Shared front half of extraction: case classification, triangle
     cumsum, edge-lerped per-edge payload.  Returns
     (ntris (M,), offs (M,) exclusive, total, tri15 (15,M), payload (10,12,M))."""
@@ -341,7 +344,8 @@ def _emission_inputs(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     ccol = _corner_slices(lat_c, spec.sample)       # (8, 4, M)
 
     ci, ntris, cx, cy, cz = _classify(
-        vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi)
+        vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi,
+        cube_y_hi)
     offs = jnp.cumsum(ntris) - ntris  # exclusive
     total = offs[-1] + ntris[-1]
 
@@ -352,7 +356,8 @@ def _emission_inputs(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
 
 
 def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
-               h: float, scale, isolevel, node_offset=None, cube_x_hi=None):
+               h: float, scale, isolevel, node_offset=None, cube_x_hi=None,
+               cube_y_hi=None):
     """Case classification + cumsum compaction + deterministic emission
     (reference mc_size `src/ocl/oclsph_kernel.h:272-318` and mc_eval
     `:336-408`, atomics replaced by exclusive-cumsum offsets).
@@ -385,10 +390,10 @@ def mc_extract(lat_v, lat_n, lat_c, min_extent, extent, spec: McSpec,
     if spec.cube_cap > 0:
         return _mc_extract_compacted(
             lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale,
-            isolevel, node_offset, cube_x_hi)
+            isolevel, node_offset, cube_x_hi, cube_y_hi)
     ntris, offs, total, tri15, payload = _emission_inputs(
         lat_v, lat_n, lat_c, min_extent, extent, spec, h, scale, isolevel,
-        node_offset, cube_x_hi)
+        node_offset, cube_x_hi, cube_y_hi)
     cap3 = spec.tri_capacity * 3
     keys, pays = _slot_rows(ntris, offs, tri15, payload, dtype)
     emit_ovf = jnp.asarray(0, jnp.int32)
@@ -462,7 +467,7 @@ def _slot_rows(ntris, offs, tri15, payload, dtype):
 
 def _mc_extract_compacted(lat_v, lat_n, lat_c, min_extent, extent,
                           spec: McSpec, h: float, scale, isolevel,
-                          node_offset=None, cube_x_hi=None):
+                          node_offset=None, cube_x_hi=None, cube_y_hi=None):
     """Cube-compaction emission (spec.cube_cap > 0; see the McSpec field).
 
     Stage 1 sorts the M cube indices by the unique key
@@ -495,7 +500,8 @@ def _mc_extract_compacted(lat_v, lat_n, lat_c, min_extent, extent,
     # classification only for liveness (+ the multi-chip in-volume zeroing);
     # everything else is re-derived from the compacted idx
     ci, ntris, _, _, _ = _classify(
-        vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi)
+        vals, isolevel, cx, cy, cz, extent, spec, node_offset, cube_x_hi,
+        cube_y_hi)
     live = ntris > 0
     nlive = jnp.sum(live).astype(jnp.int32)
     total = jnp.sum(ntris)

@@ -25,10 +25,15 @@ Design (tensor-product tiles, fixed equal-count bounds):
   * the constraint pipeline is the SHARED single-chip `neighbour_phases`
     (Pallas kernels under `use_pallas`), exactly as in the 1D engine.
 
-Scope: solver-only (sources/drains/wells/queries supported; `surface` and
-dynamic rebalancing remain 1D-engine features — the 2D tile MC node
-partition and 2D rebalancing are the named follow-up, mirroring how the 1D
-engine gained them one round after its solver shipped).
+Scope: the FULL pipeline — sources/drains/wells/queries, the shared Pallas
+constraint kernels, tile-local marching cubes (the 2D node partition: each
+tile evaluates nodes [bx*res, bx1*res] x [by*res, by1*res] over all z and
+owns cubes with global x < bx1*res AND y < by1*res; boundary nodes gather
+from the ghost columns/rows the two-phase halo already installs, corner
+nodes from the corner ghosts that ride the y-pass), and dynamic tensor-
+product rebalancing (per-axis equal-count cuts from the global marginal
+CDFs, movement clamped to one column/frame per axis — the same one-hop
+invariant as the 1D engine, held independently per axis).
 """
 
 from __future__ import annotations
@@ -54,21 +59,37 @@ from pbf_sph_tpu.models.jax_solver import (
 )
 from pbf_sph_tpu.ops import pbf
 from pbf_sph_tpu.ops.grid import GridSpec, build_cell_table
-from pbf_sph_tpu.parallel.sharded import _compact_first, _perm
+from pbf_sph_tpu.parallel.sharded import (  # noqa: F401  (gather_mesh re-exported)
+    _compact_first,
+    _perm,
+    gather_mesh,
+)
 
 AXX = "x"
 AXY = "y"
 
 
-def _equal_count_cuts(vals, lo, hi, n, min_w=3):
-    """Equal-count cell-granular cuts of [lo, hi) into n ranges >= min_w."""
+def _axis_cap(g: int, n: int, min_w: int, cap: int = 0) -> int:
+    """Max tile width cap along one axis (rebalance mode): 0 = 3x uniform,
+    clamped feasible — the 1D engine's max_slab_w policy per axis."""
+    cap = cap or -(-3 * g // n)
+    cap = max(cap, min_w, -(-g // n))
+    return min(cap, g - (n - 1) * min_w)
+
+
+def _equal_count_cuts(vals, lo, hi, n, min_w=3, max_w=None):
+    """Equal-count cell-granular cuts of [lo, hi) into n ranges with widths
+    in [min_w, max_w]."""
     hist = np.bincount(np.clip(vals, lo, hi - 1) - lo, minlength=hi - lo)
     cdf = np.cumsum(hist)
     total = int(cdf[-1])
+    g = hi - lo
+    xw = max_w if max_w is not None else g
     b = [lo]
     for d in range(1, n):
         v = lo + int(np.searchsorted(cdf, total * d / n, side="left")) + 1
-        v = min(max(v, b[-1] + min_w), hi - min_w * (n - d))
+        v = min(max(v, b[-1] + min_w, hi - xw * (n - d)),
+                hi - min_w * (n - d), b[-1] + xw)
         b.append(v)
     b.append(hi)
     return tuple(int(x) for x in b)
@@ -94,13 +115,37 @@ class Shard2DSpec:
     use_pallas: bool = False
     strip_capacity: int = 0
     min_bound: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # LOCAL marching-cubes spec (wx_max*res+1 x wy_max*res+1 node columns);
+    # None = no surface.  Requires integer resolution: the per-tile node
+    # offset bx*res must be a whole node index at every (data-dependent)
+    # equal-count cut.
+    surface: object = None
+    # Dynamic tensor-product rebalancing: xb/yb become per-frame traced
+    # arrays re-partitioned from the global marginal particle CDFs (one
+    # (gx,)+(gy,) psum pair per frame), movement clamped to rebalance_step
+    # columns/frame per axis, widths kept in [min_w, max-width cap] — the
+    # per-axis one-hop migration invariant holds exactly as in the 1D
+    # engine (sharded.py ShardSpec.rebalance).
+    rebalance: bool = False
+    rebalance_step: int = 1
+    min_w: int = 3
+    # max tile width cap per axis (columns; 0 = 3x uniform, clamped
+    # feasible) — bounds the static local grid/lattice under rebalancing
+    max_wx_cap: int = 0
+    max_wy_cap: int = 0
 
     @property
     def wx_max(self) -> int:
+        if self.rebalance:
+            return _axis_cap(self.grid_global.dims[0], self.nx, self.min_w,
+                             self.max_wx_cap)
         return max(b - a for a, b in zip(self.xb, self.xb[1:]))
 
     @property
     def wy_max(self) -> int:
+        if self.rebalance:
+            return _axis_cap(self.grid_global.dims[1], self.ny, self.min_w,
+                             self.max_wy_cap)
         return max(b - a for a, b in zip(self.yb, self.yb[1:]))
 
     @property
@@ -120,13 +165,8 @@ class Shard2DSpec:
     def create(config, nx: int, ny: int, soa, h: float,
                cell_capacity: int = 48, dtype: str = "float32",
                cap_local: int = 0, scene: Scene = None,
-               use_pallas: bool = False, min_w: int = 3) -> "Shard2DSpec":
-        if config.surface is not None:
-            raise ValueError(
-                "sharded2d is solver-only: surface extraction runs on the 1D "
-                "x-slab engine (parallel/sharded.py) — drop config.surface "
-                "or use --multichip N"
-            )
+               use_pallas: bool = False, min_w: int = 3,
+               rebalance: bool = False) -> "Shard2DSpec":
         grid = GridSpec.from_bounds(config.min_bound, config.max_bound,
                                     config.scale, h)
         gx, gy, gz = grid.dims
@@ -134,15 +174,34 @@ class Shard2DSpec:
             raise ValueError(
                 f"grid {gx}x{gy} columns/rows cannot hold {nx}x{ny} tiles of "
                 f">= {min_w} cells")
+        if config.surface is not None:
+            # equal-count cuts land on arbitrary columns, so every per-tile
+            # node offset b*res must be a whole node index (the 1D engine
+            # has the same constraint in rebalance mode)
+            if not float(config.surface.resolution).is_integer():
+                raise ValueError(
+                    "2D tile surface extraction requires an integer MC "
+                    "resolution (the tile node partition shifts by whole "
+                    "columns)")
         sspec = scene_spec_of(scene or Scene(), config)
         scale = np.float32(config.scale)
         hf = np.float32(h)
         me = np.asarray(config.min_bound, np.float32) / scale - hf * 2
         gcx = np.trunc((soa.position[:, 0].astype(np.float32) / scale - me[0]) / hf).astype(np.int64)
         gcy = np.trunc((soa.position[:, 1].astype(np.float32) / scale - me[1]) / hf).astype(np.int64)
-        xb = _equal_count_cuts(gcx, 0, gx, nx, min_w)
-        yb = _equal_count_cuts(gcy, 0, gy, ny, min_w)
+        # rebalance mode bounds the static local grid/lattice by the width
+        # caps, so the initial cuts must respect them too
+        wx_cap = _axis_cap(gx, nx, min_w) if rebalance else None
+        wy_cap = _axis_cap(gy, ny, min_w) if rebalance else None
+        xb = _equal_count_cuts(gcx, 0, gx, nx, min_w, wx_cap)
+        yb = _equal_count_cuts(gcy, 0, gy, ny, min_w, wy_cap)
         count = len(soa)
+        if cap_local <= 0 and rebalance:
+            # per-axis equal-count cuts bound the marginal, not the joint,
+            # tile count; 3x headroom over uniform absorbs the residual
+            # (zero-drop validated by the 2D sloshing tests)
+            per = (count + sspec.total_spawn) / (nx * ny)
+            cap_local = max(256, -(-int(per * 3) // 128) * 128)
         if cap_local <= 0:
             # static tiles under the sloshing motion can concentrate most of
             # one x-band into one tile; default to the whole-set bound like
@@ -151,24 +210,55 @@ class Shard2DSpec:
         # ghost capacities: one boundary column (x) / one boundary row incl.
         # x-ghost columns (y) at 8 particles/cell, like the 1D default
         ghost_x = max(128, -(-(gy * gz * 8) // 128) * 128)
-        wx_loc = max(b - a for a, b in zip(xb, xb[1:])) + 2
+        wx_loc = (wx_cap if rebalance
+                  else max(b - a for a, b in zip(xb, xb[1:]))) + 2
         ghost_y = max(128, -(-(wx_loc * gz * 8) // 128) * 128)
         ghost_x = min(ghost_x, cap_local)
         ghost_y = min(ghost_y, cap_local)
-        migrate_cap = min(cap_local, max(128, max(ghost_x, ghost_y)))
+        # under rebalancing a boundary move hands a whole column/row (plus
+        # drift) to a neighbour in one frame — size generously, like 1D
+        migrate_cap = cap_local if rebalance else min(
+            cap_local, max(128, max(ghost_x, ghost_y)))
         if use_pallas:
             from pbf_sph_tpu.ops.pallas_pbf import BLK
 
             total = cap_local + 2 * ghost_x + 2 * ghost_y
             cap_local += -(-total // BLK) * BLK - total
-        return Shard2DSpec(
+        spec = Shard2DSpec(
             nx=nx, ny=ny, cap_local=cap_local, ghost_x=ghost_x,
             ghost_y=ghost_y, migrate_cap=migrate_cap, xb=xb, yb=yb,
             grid_global=grid, h=h, scale=float(config.scale),
             iteration=int(config.iteration), cell_capacity=cell_capacity,
             dtype=dtype, scene=sspec, use_pallas=use_pallas,
             min_bound=tuple(float(v) for v in np.asarray(config.min_bound, np.float32)),
+            rebalance=rebalance, min_w=min_w,
         )
+        if config.surface is not None:
+            from pbf_sph_tpu.ops.mc import McSpec, default_cube_cap
+
+            res = float(config.surface.resolution)
+            gspec = McSpec.from_extent(
+                grid.extent, res,
+                influence_static=float(config.surface.particle_influence),
+            )
+            # static local lattice sized for the WIDEST possible tile along
+            # each axis (wx_max/wy_max are cut-derived in fixed mode, the
+            # rebalance width caps otherwise); padding nodes feed only
+            # ownership-masked cubes
+            local_sample = (
+                int(spec.wx_max * res) + 1,
+                int(spec.wy_max * res) + 1,
+                gspec.sample[2],
+            )
+            local_vol = int(np.prod([s - 1 for s in local_sample]))
+            surface = dataclasses.replace(
+                gspec,
+                sample=local_sample,
+                tri_capacity=max(1024, -(-gspec.tri_capacity // (nx * ny)) * 2),
+                cube_cap=default_cube_cap(local_vol),
+            )
+            spec = dataclasses.replace(spec, surface=surface)
+        return spec
 
 
 def _owner_of(cuts, gc, n):
@@ -197,14 +287,11 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
         surface=None, strip_capacity=spec.strip_capacity, mc_pallas=False,
     )
     phases, _mc = make_phase_objects(local_spec, spec.use_pallas)
-    xb_np = np.asarray(spec.xb, np.int32)
-    yb_np = np.asarray(spec.yb, np.int32)
 
-    def local_step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any]):
+    def local_step(state: FluidState, dyn: Dict[str, Any], scn: Dict[str, Any],
+                   xb, yb):
         mx = jax.lax.axis_index(AXX)
         my = jax.lax.axis_index(AXY)
-        xb = jnp.asarray(xb_np)
-        yb = jnp.asarray(yb_np)
         bx = xb[mx]
         by = yb[my]
         wx = xb[mx + 1] - bx
@@ -481,6 +568,33 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
         new_pos, new_vel = pbf.finalise(position, vel, pstar, ptype, alive,
                                         dt, scale, dtype)
 
+        # 7b. tile-local marching cubes (ghosts still alive: boundary nodes
+        # gather from the ghost columns/rows, corner nodes from the corner
+        # ghosts the y-pass installed; cube ownership is the tensor product
+        # x < xb[mx+1]*res AND y < yb[my+1]*res — cubes partition exactly
+        # across tiles, no duplicate triangles)
+        mesh_out = None
+        if spec.surface is not None:
+            from pbf_sph_tpu.ops import mc as mc_ops
+
+            res_i = int(spec.surface.resolution)
+            node_off = (bx * res_i, by * res_i, 0)
+            cell_off = (-(bx - 1), -(by - 1), 0)
+            lat_v, lat_n, lat_c = mc_ops.mc_field(
+                new_pos, colour, ptype, alive, cell_table, lgrid,
+                min_extent, spec.grid_global.extent, spec.surface, K, spec.h,
+                scale, dyn["mc_particle_size"].astype(dtype),
+                dyn["mc_particle_influence"].astype(dtype),
+                node_offset=node_off, cell_offset=cell_off,
+                quirk_grid=spec.grid_global,
+            )
+            vs, ns, cs, total, emit_ovf = mc_ops.mc_extract(
+                lat_v, lat_n, lat_c, min_extent, spec.grid_global.extent,
+                spec.surface, spec.h, scale, dyn["mc_isolevel"].astype(dtype),
+                node_offset=node_off, cube_x_hi=xb[mx + 1] * res_i,
+                cube_y_hi=yb[my + 1] * res_i)
+            mesh_out = (vs, ns, cs, total, emit_ovf)
+
         # drop ghosts; compact alive to the front (the sort strands owned
         # rows in the ghost tail otherwise — same hazard as the 1D engine)
         ghost_mask = jnp.zeros((CT,), bool).at[CL:].set(True)[order]
@@ -491,6 +605,44 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
         new_pos = new_pos[:, order2]
         new_vel = new_vel[:, order2]
         colour = colour[:, order2]
+
+        # 8. tensor-product rebalancing: re-partition each axis's cuts from
+        # the global MARGINAL particle CDF (one (gx,)+(gy,) psum pair per
+        # frame).  Movement is clamped to rebalance_step columns and widths
+        # to [min_w, w*_max], so ownership changes stay within the per-axis
+        # one-hop migration budget — the same policy as the 1D engine
+        # (sharded.py step 8), applied independently per axis.
+        if spec.rebalance:
+            def repartition(axis, cuts_now, n, xw):
+                g = spec.grid_global.dims[axis]
+                gc = jnp.trunc(
+                    jnp.clip((new_pos[axis] / scale - min_extent[axis])
+                             / jnp.asarray(h, dtype), -2e9, 2e9)
+                ).astype(jnp.int32)
+                histl = jnp.zeros((g,), jnp.int32).at[
+                    jnp.clip(gc, 0, g - 1)
+                ].add(alive.astype(jnp.int32))
+                cdf = jnp.cumsum(jax.lax.psum(histl, (AXX, AXY)))
+                total = cdf[-1]
+                S = spec.rebalance_step
+                MW = spec.min_w
+                bs = [jnp.asarray(0, jnp.int32)]
+                for d in range(1, n):
+                    target = (total * d) // n
+                    raw = jnp.searchsorted(
+                        cdf, target, side="left").astype(jnp.int32) + 1
+                    v = jnp.clip(raw, cuts_now[d] - S, cuts_now[d] + S)
+                    v = jnp.clip(
+                        v, jnp.maximum(bs[-1] + MW, g - xw * (n - d)),
+                        jnp.minimum(g - MW * (n - d), bs[-1] + xw))
+                    bs.append(v)
+                bs.append(jnp.asarray(g, jnp.int32))
+                return jnp.stack(bs)
+
+            new_xb = repartition(0, xb, NX, spec.wx_max)
+            new_yb = repartition(1, yb, NY, spec.wy_max)
+        else:
+            new_xb, new_yb = xb, yb
 
         new_state = FluidState(
             pid=pid, ptype=ptype, mass=mass,
@@ -512,7 +664,13 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
             query_ids=q_ids,
             query_counts=q_counts,
         )
-        return new_state, stats
+        if mesh_out is not None:
+            stats.update(
+                mesh_vs=mesh_out[0], mesh_ns=mesh_out[1], mesh_cs=mesh_out[2],
+                tri_count=mesh_out[3][None],
+                mc_emit_overflow=mesh_out[4][None],
+            )
+        return new_state, stats, new_xb, new_yb
 
     both = (AXX, AXY)
     state_specs = FluidState(
@@ -536,12 +694,18 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
         spawn_dropped=P(both), strip_overflow=P(both),
         query_overflow=P(both), query_ids=P(), query_counts=P(),
     )
+    if spec.surface is not None:
+        stats_specs.update(
+            mesh_vs=P(None, both), mesh_ns=P(None, both),
+            mesh_cs=P(None, both), tri_count=P(both),
+            mc_emit_overflow=P(both),
+        )
 
     fn = jax.jit(jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_specs, dyn_specs, scn_specs),
-        out_specs=(state_specs, stats_specs),
+        in_specs=(state_specs, dyn_specs, scn_specs, P(), P()),
+        out_specs=(state_specs, stats_specs, P(), P()),
         check_vma=False,
     ))
 
@@ -552,12 +716,30 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
         spec.scene.n_wells or spec.scene.total_spawn or spec.scene.n_drains
         or spec.scene.n_queries
     )
+    xb0 = np.asarray(spec.xb, np.int32)
+    yb0 = np.asarray(spec.yb, np.int32)
 
-    def step(state, dyn, scn=None):
+    def step(state, dyn, scn=None, bounds=None):
+        """One 2D-tile frame.  Fixed mode (spec.rebalance=False): bounds may
+        be omitted and the return is (state, stats).  Rebalance mode: pass
+        the current (xb, yb) cut arrays (start from (spec.xb, spec.yb)) and
+        the return is (state, stats, (new_xb, new_yb)) — thread the new cuts
+        into the next call."""
         if scn is None:
             assert not has_scene, "spec has scene objects; pass scn arrays"
             scn = empty_scn
-        return fn(state, dyn, scn)
+        if bounds is None:
+            assert not spec.rebalance, (
+                "rebalance mode: pass bounds=(xb, yb) (start from "
+                "(spec.xb, spec.yb)) and thread the returned cuts into the "
+                "next step"
+            )
+            bounds = (xb0, yb0)
+        out_state, out_stats, nxb, nyb = fn(state, dyn, scn, bounds[0],
+                                            bounds[1])
+        if spec.rebalance:
+            return out_state, out_stats, (nxb, nyb)
+        return out_state, out_stats
 
     return step
 
@@ -613,18 +795,22 @@ def make_mesh2d(nx: int, ny: int) -> Mesh:
     return Mesh(devices, (AXX, AXY))
 
 
-def distribute_particles_2d(soa, spec: Shard2DSpec, dtype=np.float32) -> FluidState:
+def distribute_particles_2d(soa, spec: Shard2DSpec, dtype=np.float32,
+                            bounds=None) -> FluidState:
     """Assign particles to tiles by (x, y) cell and build the concatenated
-    per-device state (x-major tile order, matching make_mesh2d)."""
+    per-device state (x-major tile order, matching make_mesh2d).  `bounds`
+    defaults to the spec's cuts; pass a resumed (xb, yb) pair when restoring
+    a rebalanced run so ownership matches the dynamic cuts."""
     f = dtype
+    xb, yb = bounds if bounds is not None else (spec.xb, spec.yb)
     scale = np.float32(spec.scale)
     h = np.float32(spec.h)
     me = np.asarray(spec.min_bound, np.float32) / scale - h * 2
     gcx = np.trunc((soa.position[:, 0].astype(f) / scale - me[0]) / h).astype(np.int64)
     gcy = np.trunc((soa.position[:, 1].astype(f) / scale - me[1]) / h).astype(np.int64)
-    ox = np.clip(np.searchsorted(spec.xb, np.clip(gcx, 0, None), side="right") - 1,
+    ox = np.clip(np.searchsorted(xb, np.clip(gcx, 0, None), side="right") - 1,
                  0, spec.nx - 1)
-    oy = np.clip(np.searchsorted(spec.yb, np.clip(gcy, 0, None), side="right") - 1,
+    oy = np.clip(np.searchsorted(yb, np.clip(gcy, 0, None), side="right") - 1,
                  0, spec.ny - 1)
     from pbf_sph_tpu.core.types import FluidState as FS, ParticleSoA
 

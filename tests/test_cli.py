@@ -213,3 +213,25 @@ def test_visualise_live_stdin_loop(tmp_path, capsys, monkeypatch):
     assert "quit" in out
     # ended early: far fewer than 50 frames ran
     assert out.count("particles=") < 10
+
+
+@pytest.mark.slow
+def test_cli_multichip2d_rebalance(tmp_path, capsys, monkeypatch):
+    """--multichip NXxNY --rebalance: the 2D tile runner threads the dynamic
+    tensor-product cuts through the recovery loop and completes with full
+    conservation (solver-only keeps the CPU compile small; the 2D
+    surface path is certified by tests/test_sharded.py and dryrun phase 3)."""
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([
+        "--multichip", "2x2", "--rebalance", "--impl", "jax",
+        "--count", "900", "--iter", "2", "--warmup", "1", "--no-surface",
+        "--output", str(tmp_path / "mc2d_{impl}_{type}_{iter}"),
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0, captured.err
+    assert "Multichip 2D: 2x2 tiles" in captured.out
+    assert "rebalancing cuts" in captured.out
+    assert "Benchmark completed after 2 frames" in captured.out
+    built = int(captured.out.split("Workload bench20k: ")[1].split()[0])
+    final = int(captured.out.split("Final Particle count :")[1].splitlines()[0])
+    assert final == built > 0

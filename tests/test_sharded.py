@@ -546,3 +546,179 @@ def test_sharded2d_pallas_matches_single():
     np.testing.assert_array_equal(a.pid, b.pid)
     np.testing.assert_allclose(a.position, b.position, atol=0.1, rtol=0)
     np.testing.assert_allclose(a.colour, b.colour, atol=2e-3, rtol=0)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "compacted",
+    [False, pytest.param(True, marks=pytest.mark.nightly)])
+def test_sharded2d_mc_matches_single(compacted):
+    """Tile-local marching cubes on the 2D engine (node partition
+    [bx*res, bx1*res] x [by*res, by1*res], cube ownership x < bx1*res AND
+    y < by1*res, boundary/corner nodes fed by the two-phase halo) produces
+    the same triangle set as the single-chip run.  `compacted=True` forces
+    cube-compaction emission, certifying the tensor-product ownership mask
+    survives the compaction."""
+    import dataclasses
+    from pbf_sph_tpu.parallel import sharded2d
+
+    mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
+    cfg = cfg.replace(surface=dataclasses.replace(mc, resolution=1.0))
+
+    js = JaxSolver(h=cfg.h)
+    res, _ = js.advance(cfg, Scene(), particles)
+    T_ref = res.mesh.vs.shape[0] // 3
+    assert T_ref > 0  # the scene must actually produce a surface
+
+    mesh = sharded2d.make_mesh2d(2, 2)
+    spec = sharded2d.Shard2DSpec.create(cfg, 2, 2, particles, cfg.h)
+    assert spec.surface is not None
+    if compacted:
+        lvol = int(np.prod([s - 1 for s in spec.surface.sample]))
+        spec = dataclasses.replace(
+            spec, surface=dataclasses.replace(
+                spec.surface, cube_cap=-(-lvol // 4 // 128) * 128))
+    state = sharded2d.shard_state_2d(
+        sharded2d.distribute_particles_2d(particles, spec), mesh)
+    step = sharded2d.build_sharded2d_step(spec, mesh)
+    dyn = dyn_params_of(cfg, np.float32)
+    with mesh:
+        state, stats = step(state, dyn)
+
+    assert int(np.asarray(stats["mc_emit_overflow"]).sum()) == 0
+    counts = np.asarray(stats["tri_count"]).ravel()
+    assert counts.sum() == T_ref
+    vs, ns, cs = sharded2d.gather_mesh(
+        {k: np.asarray(v) for k, v in stats.items()}, spec)
+    got = vs.reshape(T_ref, 9)
+    want = res.mesh.vs.reshape(T_ref, 9)
+
+    def canon(a):
+        r = np.round(a, 3)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(canon(got), canon(want), atol=2e-2, rtol=0)
+
+
+def run_sharded2d_rebalance(cfg, particles, nx, ny, frames, motion=False,
+                            cap_local=0, settle=0):
+    from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+    from pbf_sph_tpu.parallel import sharded2d
+
+    mesh = sharded2d.make_mesh2d(nx, ny)
+    spec = sharded2d.Shard2DSpec.create(
+        cfg, nx, ny, particles, cfg.h, rebalance=True, cap_local=cap_local)
+    bounds = (np.asarray(spec.xb, np.int32), np.asarray(spec.yb, np.int32))
+    state = sharded2d.shard_state_2d(
+        sharded2d.distribute_particles_2d(particles, spec), mesh)
+    step = sharded2d.build_sharded2d_step(spec, mesh)
+    peak_frac = 0.0
+    drops = {}
+    stats = None
+    with mesh:
+        for frame in range(-settle, frames):
+            cfg_f = (apply_motion_sin_x_cos_z(cfg, max(frame, 0))
+                     if motion else cfg)
+            dyn = dyn_params_of(cfg_f, np.float32)
+            state, stats, bounds = step(state, dyn, bounds=bounds)
+            counts = np.asarray(stats["alive_count"])
+            peak_frac = max(peak_frac, counts.max() / max(counts.sum(), 1))
+            for k in ("migrate_dropped", "migrate_deferred", "ghost_dropped"):
+                drops[k] = drops.get(k, 0) + int(np.asarray(stats[k]).sum())
+    return (state.to_soa(), spec, peak_frac, drops,
+            (np.asarray(bounds[0]), np.asarray(bounds[1])), stats)
+
+
+@pytest.mark.slow
+def test_sharded2d_rebalance_matches_single():
+    """Dynamic tensor-product rebalancing preserves exact single-chip
+    parity: per-axis cut moves change ownership, but the two-phase halo
+    gives every owned particle its full neighbourhood regardless of the
+    partition."""
+    mc, cfg, particles = dam_break(1200, solver_iter=3)
+    xs_m, spec, peak, drops, (xb, yb), _ = run_sharded2d_rebalance(
+        cfg, particles, 2, 2, frames=2, cap_local=len(particles))
+    assert sum(drops.values()) == 0, drops
+    # cut arrays remain monotone with the minimum width
+    assert (np.diff(xb) >= spec.min_w).all()
+    assert (np.diff(yb) >= spec.min_w).all()
+    xs_s = run_single(cfg, particles, frames=2)
+    assert len(xs_m) == len(xs_s)
+    a = xs_m.order_by_id()
+    b = xs_s.order_by_id()
+    np.testing.assert_array_equal(a.pid, b.pid)
+    np.testing.assert_allclose(a.position, b.position, atol=0.1, rtol=0)
+    np.testing.assert_allclose(a.velocity, b.velocity, atol=0.1, rtol=0)
+    np.testing.assert_allclose(a.colour, b.colour, atol=2e-3, rtol=0)
+
+
+@pytest.mark.slow
+@pytest.mark.nightly
+def test_sharded2d_rebalance_surface_matches_single():
+    """Rebalancing + tile-local marching cubes coexist on the 2D engine:
+    the node partition follows the dynamic cuts (node/cell offsets traced
+    from xb/yb, cube ownership masked at xb[mx+1]*res AND yb[my+1]*res).
+    Triangle sets must match the single-chip run exactly under the
+    benchmark's sloshing bounds (`src/benchmark.cpp:29,33`)."""
+    import dataclasses
+
+    from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
+    from pbf_sph_tpu.parallel import sharded2d
+
+    mc, cfg, particles = simple_config_with_2_cubes(1500, 2, 500.0)
+    cfg = cfg.replace(surface=dataclasses.replace(mc, resolution=1.0))
+    frames = 2
+
+    js = JaxSolver(h=cfg.h)
+    xs_s = particles
+    res = None
+    for f in range(frames):
+        res, xs_s = js.advance(apply_motion_sin_x_cos_z(cfg, f), Scene(), xs_s)
+    T_ref = res.mesh.vs.shape[0] // 3
+    assert T_ref > 0
+
+    mesh = sharded2d.make_mesh2d(2, 2)
+    spec = sharded2d.Shard2DSpec.create(
+        cfg, 2, 2, particles, cfg.h, rebalance=True,
+        cap_local=len(particles))
+    assert spec.surface is not None
+    bounds = (np.asarray(spec.xb, np.int32), np.asarray(spec.yb, np.int32))
+    state = sharded2d.shard_state_2d(
+        sharded2d.distribute_particles_2d(particles, spec), mesh)
+    step = sharded2d.build_sharded2d_step(spec, mesh)
+    with mesh:
+        for f in range(frames):
+            dyn = dyn_params_of(apply_motion_sin_x_cos_z(cfg, f), np.float32)
+            state, stats, bounds = step(state, dyn, bounds=bounds)
+
+    for k in ("migrate_dropped", "ghost_dropped", "mc_emit_overflow"):
+        assert int(np.asarray(stats[k]).sum()) == 0, k
+    counts = np.asarray(stats["tri_count"]).ravel()
+    assert counts.sum() == T_ref
+    vs, ns, cs = sharded2d.gather_mesh(
+        {k: np.asarray(v) for k, v in stats.items()}, spec)
+    got = vs.reshape(T_ref, 9)
+    want = res.mesh.vs.reshape(T_ref, 9)
+
+    def canon(a):
+        r = np.round(a, 3)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(canon(got), canon(want), atol=2e-2, rtol=0)
+
+
+@pytest.mark.slow
+@pytest.mark.nightly
+def test_sharded2d_rebalance_conserves_under_motion():
+    """Sloshing bounds with dynamic tensor-product rebalancing at a
+    fractional per-tile capacity: zero drops, full conservation, and the
+    cuts stay monotone/feasible while they move."""
+    mc, cfg, particles = dam_break(1600, solver_iter=1)
+    xs, spec, peak, drops, (xb, yb), _ = run_sharded2d_rebalance(
+        cfg, particles, 2, 2, frames=12, motion=True, cap_local=1280)
+    assert spec.cap_local < len(particles)
+    assert sum(drops.values()) == 0, drops
+    assert len(xs) == len(particles)
+    assert sorted(xs.pid.tolist()) == sorted(particles.pid.tolist())
+    assert (np.diff(xb) >= spec.min_w).all()
+    assert (np.diff(yb) >= spec.min_w).all()

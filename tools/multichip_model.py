@@ -110,6 +110,25 @@ def collective_census(n_dev=4, count=2000, iteration=6):
         txt = jax.jit(lambda st, dy, sc: step_fn(st, dy, sc)).lower(
             state, dyn, scn).compile().as_text()
     # optimized-HLO shapes: `%x = f32[2048]{0} collective-permute(`
+    nperm, nar, byte_total = _hlo_collectives(txt)
+    print(f"collective census (optimized HLO; n_dev={n_dev}, count={count}, "
+          f"{iteration} iterations, fixed slabs, no surface):")
+    print(f"  collective-permute ops/frame : {nperm}")
+    print(f"  all-reduce ops/frame         : {nar}")
+    print(f"  permute payload bytes/frame  : {byte_total} "
+          f"(at THIS size's capacities: migrate_cap={spec.migrate_cap}, "
+          f"ghost_cap={spec.ghost_cap})")
+    exp = spec.migrate_cap * 2 * (13 * 4 + 1) + spec.ghost_cap * 2 * (
+        12 * 4 + 1) + iteration * 2 * (1 + 3) * 4 * spec.ghost_cap
+    print(f"  analytic bytes/frame         : {exp} "
+          f"(migration 2x14 fields, ghosts 2x13, refresh 2x(1+3)x{iteration})")
+    print(f"  analytic permute count       : "
+          f"{14 * 2 + 13 * 2 + (1 + 3) * 2 * iteration} "
+          f"(XLA may fuse/split some)")
+    return nperm, nar, byte_total, exp
+
+
+def _hlo_collectives(txt):
     shapes = re.findall(r"= (\w+\[[0-9,]*\])[^ ]* collective-permute", txt)
     ar = re.findall(r" all-reduce\(| all-reduce-start\(", txt)
     byte_total = 0
@@ -121,21 +140,59 @@ def collective_census(n_dev=4, count=2000, iteration=6):
             if tok:
                 n *= int(tok)
         byte_total += n * dt
-    print(f"collective census (optimized HLO; n_dev={n_dev}, count={count}, "
-          f"{iteration} iterations, fixed slabs, no surface):")
-    print(f"  collective-permute ops/frame : {len(shapes)}")
-    print(f"  all-reduce ops/frame         : {len(ar)}")
+    return len(shapes), len(ar), byte_total
+
+
+def collective_census_2d(nx=2, ny=2, count=2000, iteration=6,
+                         rebalance=False):
+    """HLO collective census of the SHIPPED 2D tile step
+    (parallel/sharded2d.py) on a virtual nx*ny mesh."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pbf_sph_tpu.core.scene import simple_config_with_2_cubes
+    from pbf_sph_tpu.core.types import Scene
+    from pbf_sph_tpu.models.jax_solver import dyn_params_of, scene_arrays_of
+    from pbf_sph_tpu.parallel import sharded2d
+
+    mc, config, xs = simple_config_with_2_cubes(count, iteration, 500.0)
+    config = config.replace(surface=None)
+    spec = sharded2d.Shard2DSpec.create(config, nx, ny, xs, config.h,
+                                        rebalance=rebalance)
+    mesh = sharded2d.make_mesh2d(nx, ny)
+    state = sharded2d.shard_state_2d(
+        sharded2d.distribute_particles_2d(xs, spec), mesh)
+    dyn = dyn_params_of(config, np.float32)
+    scn = scene_arrays_of(Scene(), spec.scene, np.dtype("float32"))
+    step_fn = sharded2d.build_sharded2d_step(spec, mesh)
+    b = (np.asarray(spec.xb, np.int32), np.asarray(spec.yb, np.int32))
+    with mesh:
+        if rebalance:
+            txt = jax.jit(
+                lambda st, dy, sc, xbv, ybv: step_fn(st, dy, sc, (xbv, ybv))
+            ).lower(state, dyn, scn, b[0], b[1]).compile().as_text()
+        else:
+            txt = jax.jit(lambda st, dy, sc: step_fn(st, dy, sc)).lower(
+                state, dyn, scn).compile().as_text()
+    nperm, nar, byte_total = _hlo_collectives(txt)
+    print(f"2D collective census (optimized HLO; {nx}x{ny} tiles, "
+          f"count={count}, {iteration} iterations, "
+          f"{'rebalancing' if rebalance else 'static'} cuts, no surface):")
+    print(f"  collective-permute ops/frame : {nperm}")
+    print(f"  all-reduce ops/frame         : {nar}")
     print(f"  permute payload bytes/frame  : {byte_total} "
-          f"(at THIS size's capacities: migrate_cap={spec.migrate_cap}, "
-          f"ghost_cap={spec.ghost_cap})")
-    exp = spec.migrate_cap * 2 * (13 * 4 + 1) + spec.ghost_cap * 2 * (
-        12 * 4 + 1) + iteration * 2 * (1 + 3) * 4 * spec.ghost_cap
+          f"(migrate_cap={spec.migrate_cap}, ghost_x={spec.ghost_x}, "
+          f"ghost_y={spec.ghost_y})")
+    exp = (spec.migrate_cap * 2 * 2 * (13 * 4 + 1)
+           + (spec.ghost_x + spec.ghost_y) * 2 * (12 * 4 + 1)
+           + iteration * 2 * (1 + 3) * 4 * (spec.ghost_x + spec.ghost_y))
     print(f"  analytic bytes/frame         : {exp} "
-          f"(migration 2x14 fields, ghosts 2x13, refresh 2x(1+3)x{iteration})")
+          f"(migration 2 axes x 2 dirs x 14 fields, ghosts "
+          f"(HX+HY) x 2 x 13, refresh 2 x (1+3) x {iteration} x (HX+HY))")
     print(f"  analytic permute count       : "
-          f"{14 * 2 + 13 * 2 + (1 + 3) * 2 * iteration} "
-          f"(XLA may fuse/split some)")
-    return len(shapes), len(ar), byte_total, exp
+          f"{14 * 2 * 2 + 13 * 2 * 2 + (1 + 3) * 2 * 2 * iteration} "
+          f"(= 2x the 1D step's; XLA may fuse/split some)")
+    return nperm, nar, byte_total, exp
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +226,12 @@ def ici_bytes(count, n_dev, gy, gz, iteration=6, rebalance=True):
 # ---------------------------------------------------------------------------
 
 
-def settled_state(count=1_000_000):
+def settled_state(count=1_000_000, slosh_frames=0):
+    """Cell coords of the 1M dam after 5 settling steps; with
+    `slosh_frames` > 0, additionally run that many frames of the
+    oscillating-bounds benchmark motion (`src/sph.hpp:147-158`) so the
+    census sees the sloshing steady state instead of the initial column
+    (the round-5 BENCHMARKS caveat)."""
     import jax
     import jax.numpy as jnp
 
@@ -177,6 +239,7 @@ def settled_state(count=1_000_000):
                       os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from pbf_sph_tpu.core.configs import dam_break
+    from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
     from pbf_sph_tpu.core.types import Scene
     from pbf_sph_tpu.models import make_solver
     from pbf_sph_tpu.models.jax_solver import dyn_params_of
@@ -189,9 +252,13 @@ def settled_state(count=1_000_000):
     dyn = dyn_params_of(cfg, solver.dtype)
     for _ in range(5):
         state, out = solver.step_device(spec, state, dyn, scn)
+    for f in range(slosh_frames):
+        dyn = dyn_params_of(apply_motion_sin_x_cos_z(cfg, f), solver.dtype)
+        state, out = solver.step_device(spec, state, dyn, scn)
     np.asarray(out["alive_count"])
     dtype = jnp.float32
     scale = jnp.asarray(spec.scale, dtype)
+    # census cells relative to the FINAL frame's (possibly translated) bounds
     min_extent = dyn["min_bound"].astype(dtype) / scale - jnp.asarray(spec.h, dtype) * 2
 
     @jax.jit
@@ -284,57 +351,79 @@ def project(cx, cy, cz, gdims, count):
     return results
 
 
+def _equal_count_cuts_np(vals, g, n, min_w=3):
+    hist = np.bincount(np.clip(vals, 0, g - 1), minlength=g)
+    cdf = np.cumsum(hist)
+    total = int(cdf[-1])
+    b = [0]
+    for d in range(1, n):
+        v = int(np.searchsorted(cdf, total * d / n, side="left")) + 1
+        b.append(min(max(v, b[-1] + min_w), g - min_w * (n - d)))
+    b.append(g)
+    return b
+
+
+def _census_tiles(cx, cy, cz, gz, xb, yb):
+    """Executed-slot census of every (xb, yb) tile (own + ghost layers)."""
+    slots = []
+    for i in range(len(xb) - 1):
+        for j in range(len(yb) - 1):
+            m = ((cx >= xb[i] - 1) & (cx < xb[i + 1] + 1)
+                 & (cy >= yb[j] - 1) & (cy < yb[j + 1] + 1))
+            wx = xb[i + 1] - xb[i] + 2
+            wy = yb[j + 1] - yb[j] + 2
+            lin = (((cx[m] - xb[i] + 1).astype(np.int64) * wy
+                    + (cy[m] - yb[j] + 1)) * gz + cz[m])
+            order = np.argsort(lin, kind="stable")
+            ncells = wx * wy * gz
+            table = np.searchsorted(lin[order], np.arange(ncells + 1))
+            slots.append(census_slab(lin[order], table, (wx, wy, gz)))
+    return slots
+
+
 def project_2d(cx, cy, cz, gdims, count):
-    """What a 2D (x,y)-tile decomposition of the SAME engine census would
-    give (the engine is 1D today; this quantifies the named next step).
-    Equal-count recursive partition: x into Nx slabs, then each slab into Ny
-    y-ranges; each tile's local grid is (wx+2, wy+2, gz) with ghost layers
-    on the four sides.  Comm doubles (4 neighbours) and is still negligible."""
+    """2D (x,y)-tile projection for BOTH partition families:
+
+      * TENSOR-PRODUCT cuts (global x-cuts x global y-cuts from the marginal
+        CDFs) — what `parallel/sharded2d.py` SHIPS (the two-phase migration
+        requires a one-axis hop never to change the other axis's owner, so
+        y-cuts are shared across all x-bands; the dynamic rebalancer
+        re-partitions the same marginals per frame, so this census IS the
+        rebalanced steady state);
+      * RECURSIVE cuts (per-x-band y-cuts) — the looser lower bound a
+        non-tensor-product engine could reach (requires diagonal-capable
+        migration; not shipped).
+
+    Each tile's local grid is (wx+2, wy+2, gz) with ghost layers on four
+    sides.  Comm doubles (4 neighbours) and stays negligible."""
     gx, gy, gz = gdims
-    print("\n2D (x,y)-tile projection (engine extension, same kernels):")
-    print(f"{'NxxNy':>7} {'max-tile slots':>15} {'imbal':>6} {'solve':>8} "
-          f"{'step':>8} {'steps/s':>8}")
-    for nx_, ny_ in ((4, 2), (4, 4), (8, 4), (8, 8), (16, 8)):
-        N = nx_ * ny_
-        if nx_ * 3 > gx or ny_ * 3 > gy:
-            continue
-        histx = np.bincount(np.clip(cx, 0, gx - 1), minlength=gx)
-        cdfx = np.cumsum(histx)
-        total = int(cdfx[-1])
-        xb = [0]
-        for d in range(1, nx_):
-            v = int(np.searchsorted(cdfx, total * d / nx_, side="left")) + 1
-            xb.append(min(max(v, xb[-1] + 3), gx - 3 * (nx_ - d)))
-        xb.append(gx)
-        slots = []
-        for i in range(nx_):
-            mx_ = (cx >= xb[i]) & (cx < xb[i + 1])
-            histy = np.bincount(np.clip(cy[mx_], 0, gy - 1), minlength=gy)
-            cdfy = np.cumsum(histy)
-            toty = int(cdfy[-1])
-            yb = [0]
-            for d in range(1, ny_):
-                v = int(np.searchsorted(cdfy, toty * d / ny_, side="left")) + 1
-                yb.append(min(max(v, yb[-1] + 3), gy - 3 * (ny_ - d)))
-            yb.append(gy)
-            for j in range(ny_):
-                m = ((cx >= xb[i] - 1) & (cx < xb[i + 1] + 1)
-                     & (cy >= yb[j] - 1) & (cy < yb[j + 1] + 1))
-                wx = xb[i + 1] - xb[i] + 2
-                wy = yb[j + 1] - yb[j] + 2
-                lin = (((cx[m] - xb[i] + 1).astype(np.int64) * wy
-                        + (cy[m] - yb[j] + 1)) * gz + cz[m])
-                order = np.argsort(lin, kind="stable")
-                ncells = wx * wy * gz
-                table = np.searchsorted(lin[order], np.arange(ncells + 1))
-                slots.append(census_slab(lin[order], table, (wx, wy, gz)))
-        mx = max(slots)
-        imbal = mx / (sum(slots) / N)
-        t_solve = SWEEPS / 2 * mx / RATE_LAMBDA + SWEEPS / 2 * mx / RATE_DELTA
-        t = (t_solve + T_LOCAL_1M * (count / 1e6) / N
-             + 2 * ici_bytes(count, N, gy, gz)[0] / ICI_BW + 204 * ICI_LAT)
-        print(f"{nx_:>3}x{ny_:<3} {mx/1e9:>13.3f}G {imbal:>6.2f} "
-              f"{t_solve*1e3:>7.1f}ms {t*1e3:>7.1f}ms {1/t:>8.1f}")
+    for mode in ("tensor-product (shipped engine)", "recursive (bound)"):
+        print(f"\n2D (x,y)-tile projection — {mode}:")
+        print(f"{'NxxNy':>7} {'max-tile slots':>15} {'imbal':>6} {'solve':>8} "
+              f"{'step':>8} {'steps/s':>8}")
+        for nx_, ny_ in ((4, 2), (4, 4), (8, 4), (8, 8), (16, 8)):
+            N = nx_ * ny_
+            if nx_ * 3 > gx or ny_ * 3 > gy:
+                continue
+            xb = _equal_count_cuts_np(cx, gx, nx_)
+            if mode.startswith("tensor"):
+                yb = _equal_count_cuts_np(cy, gy, ny_)
+                slots = _census_tiles(cx, cy, cz, gz, xb, yb)
+            else:
+                slots = []
+                for i in range(nx_):
+                    mx_ = (cx >= xb[i]) & (cx < xb[i + 1])
+                    yb = _equal_count_cuts_np(cy[mx_], gy, ny_)
+                    slots += _census_tiles(
+                        cx, cy, cz, gz, xb[i:i + 2], yb)
+            mx = max(slots)
+            imbal = mx / (sum(slots) / N)
+            t_solve = (SWEEPS / 2 * mx / RATE_LAMBDA
+                       + SWEEPS / 2 * mx / RATE_DELTA)
+            t = (t_solve + T_LOCAL_1M * (count / 1e6) / N
+                 + 2 * ici_bytes(count, N, gy, gz)[0] / ICI_BW + 204 * ICI_LAT)
+            print(f"{nx_:>3}x{ny_:<3} {mx/1e9:>13.3f}G {imbal:>6.2f} "
+                  f"{t_solve*1e3:>7.1f}ms {t*1e3:>7.1f}ms {1/t:>8.1f}")
 
 
 def main():
@@ -343,6 +432,8 @@ def main():
         # child process: CPU backend + forced virtual devices (the parent's
         # backend is the tunneled TPU and a process can't switch platforms)
         collective_census(n_dev=4)
+        print()
+        collective_census_2d(nx=2, ny=2, rebalance=True)
         return
     print("== 1. collective census (compiled HLO, virtual CPU mesh) ==")
     import subprocess
@@ -353,8 +444,12 @@ def main():
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
     subprocess.run([sys.executable, os.path.abspath(__file__), "--census-only"],
                    env=env, check=True)
-    print("\n== 2. settled-state slab census + projection ==")
-    cx, cy, cz, gdims = settled_state()
+    slosh = 0
+    if "--slosh" in sys.argv:
+        slosh = int(sys.argv[sys.argv.index("--slosh") + 1])
+    print(f"\n== 2. settled-state slab census + projection "
+          f"({slosh} slosh frames) ==")
+    cx, cy, cz, gdims = settled_state(slosh_frames=slosh)
     project(cx, cy, cz, gdims, count=len(cx))
     project_2d(cx, cy, cz, gdims, count=len(cx))
 
