@@ -146,15 +146,16 @@ def run_multichip(args, config, particles, output) -> int:
             flags = (
                 flags + f" --xla_force_host_platform_device_count={n_dev}"
             ).strip()
-        if "collective_call_terminate_timeout" not in flags:
-            # XLA:CPU's in-process collectives abort when device threads
-            # arrive at a rendezvous more than 40 s apart; on a few-core
-            # host emulating N devices, a heavy per-tile stage (e.g. the MC
-            # lattice) skews threads far beyond that.  Not a deadlock —
-            # raise the watchdog for the emulation (real meshes run in
-            # lockstep and never wait here).
-            flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-                      " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+        # XLA:CPU's in-process collectives abort when device threads
+        # arrive at a rendezvous more than 40 s apart; on a few-core
+        # host emulating N devices, a heavy per-tile stage (e.g. the MC
+        # lattice) skews threads far beyond that.  Not a deadlock —
+        # raise each watchdog for the emulation unless the caller set it
+        # (real meshes run in lockstep and never wait here).
+        for f in ("--xla_cpu_collective_call_warn_stuck_timeout_seconds=600",
+                  "--xla_cpu_collective_call_terminate_timeout_seconds=1200"):
+            if f.split("=")[0] not in flags:
+                flags += " " + f
         os.environ["XLA_FLAGS"] = flags
         try:
             jax.config.update("jax_platforms", "cpu")
@@ -451,9 +452,15 @@ def run_multichip2d(args, config, particles, output, nx: int, ny: int) -> int:
             sharded2d.distribute_particles_2d(ckpt_soa, spec, bounds=bounds),
             mesh)
         step = sharded2d.build_sharded2d_step(spec, mesh)
+        # print the cuts the run actually uses (a rebalance-mode resume
+        # restores the dynamic cuts from the snapshot, not the fresh spec's)
+        xb_used = (tuple(int(v) for v in bounds[0]) if bounds is not None
+                   else spec.xb)
+        yb_used = (tuple(int(v) for v in bounds[1]) if bounds is not None
+                   else spec.yb)
         print(f"Multichip 2D: {nx}x{ny} tiles ({jax.devices()[0].platform}), "
               f"{'rebalancing' if args.rebalance else 'static'} cuts, "
-              f"cap_local={spec.cap_local}, xb={spec.xb}, yb={spec.yb}"
+              f"cap_local={spec.cap_local}, xb={xb_used}, yb={yb_used}"
               + (f" (resuming at frame {ckpt_frame}/{total_frames})"
                  if ckpt_frame else ""))
 

@@ -196,6 +196,15 @@ def mc_field(position, colour, ptype, alive, cell_table, grid, min_extent,
                         sc[a] + jnp.asarray(cell_offset[a], jnp.int32)
                         for a in range(3)
                     )
+                    # gather cells outside the LOCAL grid contribute nothing.
+                    # Clipping the flattened index instead would alias them
+                    # onto the LAST local cell, multi-counting its particles
+                    # for boundary corner nodes whenever a fast particle
+                    # lands in the outer padding ring pre-solve (the cell
+                    # table is built from pre-constraint pstar).
+                    ok = (ok & (sc[0] >= 0) & (sc[0] < gx)
+                          & (sc[1] >= 0) & (sc[1] < gy)
+                          & (sc[2] >= 0) & (sc[2] < gz))
                 lin = jnp.where(ok, (sc[0] * gy + sc[1]) * gz + sc[2], 0)
                 lin = jnp.clip(lin, 0, gx * gy * gz - 1)
                 start = jnp.where(ok, cell_table[lin], 0)

@@ -679,7 +679,8 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             histl = jnp.zeros((gxn,), jnp.int32).at[
                 jnp.clip(gcx_fin, 0, gxn - 1)
             ].add(alive.astype(jnp.int32))
-            cdf = jnp.cumsum(jax.lax.psum(histl, AXIS))
+            # int64 CDF: total * d overflows int32 beyond ~2^31/D particles
+            cdf = jnp.cumsum(jax.lax.psum(histl, AXIS).astype(jnp.int64))
             total = cdf[-1]
             S = spec.rebalance_step
             MW = spec.min_slab_w

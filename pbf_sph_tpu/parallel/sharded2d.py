@@ -622,7 +622,10 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
                 histl = jnp.zeros((g,), jnp.int32).at[
                     jnp.clip(gc, 0, g - 1)
                 ].add(alive.astype(jnp.int32))
-                cdf = jnp.cumsum(jax.lax.psum(histl, (AXX, AXY)))
+                # int64 CDF: total * d overflows int32 beyond ~2^31/n
+                # particles (e.g. 17M+ on a 128-tile mesh)
+                cdf = jnp.cumsum(
+                    jax.lax.psum(histl, (AXX, AXY)).astype(jnp.int64))
                 total = cdf[-1]
                 S = spec.rebalance_step
                 MW = spec.min_w

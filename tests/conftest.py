@@ -15,12 +15,14 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "collective_call_terminate_timeout" not in flags:
-    # XLA:CPU in-process collectives abort when device threads arrive at a
-    # rendezvous > 40 s apart — routine when one core emulates 8 devices
-    # running a heavy per-tile stage.  Raise the watchdog for the emulation.
-    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+# XLA:CPU in-process collectives abort when device threads arrive at a
+# rendezvous > 40 s apart — routine when one core emulates 8 devices
+# running a heavy per-tile stage.  Raise each watchdog unless the caller
+# already set it.
+for _f in ("--xla_cpu_collective_call_warn_stuck_timeout_seconds=600",
+           "--xla_cpu_collective_call_terminate_timeout_seconds=1200"):
+    if _f.split("=")[0] not in flags:
+        flags += " " + _f
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

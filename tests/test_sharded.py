@@ -601,7 +601,7 @@ def test_sharded2d_mc_matches_single(compacted):
 
 
 def run_sharded2d_rebalance(cfg, particles, nx, ny, frames, motion=False,
-                            cap_local=0, settle=0):
+                            cap_local=0):
     from pbf_sph_tpu.core.scene import apply_motion_sin_x_cos_z
     from pbf_sph_tpu.parallel import sharded2d
 
@@ -616,9 +616,8 @@ def run_sharded2d_rebalance(cfg, particles, nx, ny, frames, motion=False,
     drops = {}
     stats = None
     with mesh:
-        for frame in range(-settle, frames):
-            cfg_f = (apply_motion_sin_x_cos_z(cfg, max(frame, 0))
-                     if motion else cfg)
+        for frame in range(frames):
+            cfg_f = apply_motion_sin_x_cos_z(cfg, frame) if motion else cfg
             dyn = dyn_params_of(cfg_f, np.float32)
             state, stats, bounds = step(state, dyn, bounds=bounds)
             counts = np.asarray(stats["alive_count"])

@@ -351,16 +351,15 @@ def project(cx, cy, cz, gdims, count):
     return results
 
 
-def _equal_count_cuts_np(vals, g, n, min_w=3):
-    hist = np.bincount(np.clip(vals, 0, g - 1), minlength=g)
-    cdf = np.cumsum(hist)
-    total = int(cdf[-1])
-    b = [0]
-    for d in range(1, n):
-        v = int(np.searchsorted(cdf, total * d / n, side="left")) + 1
-        b.append(min(max(v, b[-1] + min_w), g - min_w * (n - d)))
-    b.append(g)
-    return b
+def _equal_count_cuts_np(vals, g, n, min_w=3, capped=False):
+    """THE ENGINE'S cut function (parallel/sharded2d.py) — the census must
+    partition exactly the way the shipped code does.  capped=True applies
+    the dynamic-rebalance width caps (~3x uniform, the default
+    max_wx_cap/max_wy_cap policy); fixed-mode static cuts are uncapped."""
+    from pbf_sph_tpu.parallel.sharded2d import _axis_cap, _equal_count_cuts
+
+    max_w = _axis_cap(g, n, min_w) if capped else None
+    return list(_equal_count_cuts(np.asarray(vals), 0, g, n, min_w, max_w))
 
 
 def _census_tiles(cx, cy, cz, gz, xb, yb):
@@ -397,7 +396,10 @@ def project_2d(cx, cy, cz, gdims, count):
     Each tile's local grid is (wx+2, wy+2, gz) with ghost layers on four
     sides.  Comm doubles (4 neighbours) and stays negligible."""
     gx, gy, gz = gdims
-    for mode in ("tensor-product (shipped engine)", "recursive (bound)"):
+    for mode in ("tensor-product, static cuts (shipped fixed mode)",
+                 "tensor-product + rebalance width caps (shipped dynamic mode)",
+                 "recursive (bound)"):
+        capped = "caps" in mode
         print(f"\n2D (x,y)-tile projection — {mode}:")
         print(f"{'NxxNy':>7} {'max-tile slots':>15} {'imbal':>6} {'solve':>8} "
               f"{'step':>8} {'steps/s':>8}")
@@ -405,9 +407,9 @@ def project_2d(cx, cy, cz, gdims, count):
             N = nx_ * ny_
             if nx_ * 3 > gx or ny_ * 3 > gy:
                 continue
-            xb = _equal_count_cuts_np(cx, gx, nx_)
+            xb = _equal_count_cuts_np(cx, gx, nx_, capped=capped)
             if mode.startswith("tensor"):
-                yb = _equal_count_cuts_np(cy, gy, ny_)
+                yb = _equal_count_cuts_np(cy, gy, ny_, capped=capped)
                 slots = _census_tiles(cx, cy, cz, gz, xb, yb)
             else:
                 slots = []
