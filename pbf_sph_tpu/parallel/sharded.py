@@ -264,6 +264,18 @@ class ShardSpec:
         return spec
 
 
+def _equal_count_target(total, d: int, n: int):
+    """floor(total * d / n) without the int32-overflowing product.
+
+    `total` is a traced int32 particle count (fits by construction); the
+    naive `total * d` wraps beyond ~2^31/n, and jnp int64 silently truncates
+    to int32 unless jax_enable_x64 is on, so widening is NOT a fix.
+    Decompose total = q*n + r: floor(total*d/n) = q*d + (r*d)//n exactly,
+    with every intermediate < 2^31 (q*d <= total, r*d < n^2)."""
+    q, r = total // n, total % n
+    return q * d + (r * d) // n
+
+
 def _perm(n: int, shift: int):
     """ppermute pairs sending each device d to d+shift (non-periodic)."""
     return [(d, d + shift) for d in range(n) if 0 <= d + shift < n]
@@ -679,15 +691,15 @@ def build_sharded_step(spec: ShardSpec, mesh: Mesh):
             histl = jnp.zeros((gxn,), jnp.int32).at[
                 jnp.clip(gcx_fin, 0, gxn - 1)
             ].add(alive.astype(jnp.int32))
-            # int64 CDF: total * d overflows int32 beyond ~2^31/D particles
-            cdf = jnp.cumsum(jax.lax.psum(histl, AXIS).astype(jnp.int64))
+            # int32-safe equal-count targets (see _equal_count_target)
+            cdf = jnp.cumsum(jax.lax.psum(histl, AXIS))
             total = cdf[-1]
             S = spec.rebalance_step
             MW = spec.min_slab_w
             XW = spec.max_slab_w
             bs = [jnp.asarray(0, jnp.int32)]
             for d in range(1, D):
-                target = (total * d) // D
+                target = _equal_count_target(total, d, D)
                 raw = jnp.searchsorted(cdf, target, side="left").astype(jnp.int32) + 1
                 v = jnp.clip(raw, bounds[d] - S, bounds[d] + S)
                 # width bounds: [MW, XW] for this slab, feasibility for the

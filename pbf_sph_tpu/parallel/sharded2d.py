@@ -61,6 +61,7 @@ from pbf_sph_tpu.ops import pbf
 from pbf_sph_tpu.ops.grid import GridSpec, build_cell_table
 from pbf_sph_tpu.parallel.sharded import (  # noqa: F401  (gather_mesh re-exported)
     _compact_first,
+    _equal_count_target,
     _perm,
     gather_mesh,
 )
@@ -622,16 +623,14 @@ def build_sharded2d_step(spec: Shard2DSpec, mesh: Mesh):
                 histl = jnp.zeros((g,), jnp.int32).at[
                     jnp.clip(gc, 0, g - 1)
                 ].add(alive.astype(jnp.int32))
-                # int64 CDF: total * d overflows int32 beyond ~2^31/n
-                # particles (e.g. 17M+ on a 128-tile mesh)
-                cdf = jnp.cumsum(
-                    jax.lax.psum(histl, (AXX, AXY)).astype(jnp.int64))
+                # int32-safe equal-count targets (see sharded._equal_count_target)
+                cdf = jnp.cumsum(jax.lax.psum(histl, (AXX, AXY)))
                 total = cdf[-1]
                 S = spec.rebalance_step
                 MW = spec.min_w
                 bs = [jnp.asarray(0, jnp.int32)]
                 for d in range(1, n):
-                    target = (total * d) // n
+                    target = _equal_count_target(total, d, n)
                     raw = jnp.searchsorted(
                         cdf, target, side="left").astype(jnp.int32) + 1
                     v = jnp.clip(raw, cuts_now[d] - S, cuts_now[d] + S)

@@ -44,6 +44,22 @@ def run_single(cfg, particles, frames):
     return xs
 
 
+def test_equal_count_target_no_int32_overflow():
+    # The rebalancers' equal-count targets are computed on traced int32
+    # counts (jnp int64 silently truncates to int32 unless jax_enable_x64 is
+    # on, so widening is not available).  The decomposed form must match
+    # exact integer arithmetic right up to the int32 ceiling, where the
+    # naive total*d product wraps (e.g. 2e9 * 127 >> 2^31).
+    import jax.numpy as jnp
+
+    f = jax.jit(sharded._equal_count_target, static_argnums=(1, 2))
+    for total in (0, 1, 97, 1_000_003, 2_000_000_000, 2_147_483_647):
+        for n in (2, 8, 128):
+            for d in (1, n // 2, n - 1):
+                got = int(f(jnp.asarray(total, jnp.int32), d, n))
+                assert got == (total * d) // n, (total, d, n, got)
+
+
 @pytest.mark.parametrize("n_dev", [2, 4])
 @pytest.mark.slow
 def test_sharded_matches_single(n_dev):
